@@ -1,0 +1,140 @@
+"""`evaluate` entry point — reconstruction/latent metrics over the test split.
+
+Parity: reference evaluate.py:22-223 (load checkpoint + datamodule → loop test
+batches → recon/latent metrics aggregated mean/std/min/max → metrics.json +
+reconstruction/sample/t-SNE plots). The reference's 4-tuple unpacking bug
+(evaluate.py:73-83, SURVEY §2.2) is fixed here: modality batches evaluate
+correctly. Metrics run batched on device; aggregation is a tiny host reduce.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medvae_tpu.cli.common import load_model_and_params
+from medvae_tpu.config import instantiate
+from medvae_tpu.core.mesh import create_mesh
+from medvae_tpu.data.pipeline import DeviceFeeder, normalize_and_augment
+from medvae_tpu.models import ConditionalVAE, DisentangledConditionalVAE
+from medvae_tpu.train.metrics import kl_metrics, latent_metrics, reconstruction_metrics
+from medvae_tpu.utils.visualization import (
+    plot_latent_space,
+    plot_reconstructions,
+    plot_samples,
+)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Evaluate a trained VAE")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--output_dir", default="evaluation")
+    p.add_argument("--max_batches", type=int, default=0, help="0 = full split")
+    p.add_argument("--split", default="test")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    model, params, cfg = load_model_and_params(args.model_path, args.config)
+    variables = {"params": params}
+    datamodule = instantiate(cfg["data"])
+    datamodule.setup(None)
+    mesh = create_mesh()
+    os.makedirs(args.output_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed)
+
+    @jax.jit
+    def eval_batch(batch, key):
+        x = normalize_and_augment(batch["image_u8"], None, augment=False,
+                                  dtype=model.dtype)
+        if "channels" in batch and datamodule.max_channels > 1:
+            mask = (jnp.arange(datamodule.max_channels)[None, :]
+                    < batch["channels"][:, None]).astype(x.dtype)
+            x = x * mask[:, None, None, :]
+        rngs = {"sample": key}
+        if isinstance(model, DisentangledConditionalVAE):
+            out = model.apply(variables, x, batch["modality_idx"], rngs=rngs)
+        elif isinstance(model, ConditionalVAE):
+            out = model.apply(variables, x, batch["modality_onehot"], rngs=rngs)
+        else:
+            out = model.apply(variables, x, rngs=rngs)
+        m = {}
+        m.update(reconstruction_metrics(out["reconstruction"], x, batch["valid"]))
+        m.update(kl_metrics(out["mean"], out["logvar"], batch["valid"]))
+        m.update(latent_metrics(out["z"], batch["valid"]))
+        return m, x, out["reconstruction"], out["mean"]
+
+    feeder = DeviceFeeder(
+        datamodule.split(args.split), datamodule.batch_size, mesh,
+        shuffle=False, drop_last=False, seed=args.seed,
+    )
+    per_batch: Dict[str, List[float]] = {}
+    first_x = first_rec = None
+    latents, latent_labels = [], []
+    for i, batch in enumerate(feeder.epoch(0)):
+        m, x, rec, mean = eval_batch(batch, jax.random.fold_in(rng, i))
+        for k, v in m.items():
+            per_batch.setdefault(k, []).append(float(jax.device_get(v)))
+        if first_x is None:
+            first_x = np.asarray(jax.device_get(x))
+            first_rec = np.asarray(jax.device_get(rec))
+        if len(latents) * datamodule.batch_size < 2000:
+            latents.append(np.asarray(jax.device_get(mean)).reshape(mean.shape[0], -1))
+            latent_labels.append(np.asarray(jax.device_get(batch["modality_idx"])))
+        if args.max_batches and i + 1 >= args.max_batches:
+            break
+
+    # aggregate mean/std/min/max per metric (reference evaluate.py:109-135)
+    summary = {}
+    for k, vals in per_batch.items():
+        a = np.asarray(vals)
+        summary[k] = {
+            "mean": float(a.mean()),
+            "std": float(a.std()),
+            "min": float(a.min()),
+            "max": float(a.max()),
+        }
+    with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+    # plots (reference evaluate.py:137-168)
+    plot_reconstructions(
+        first_x, first_rec, os.path.join(args.output_dir, "reconstructions.png")
+    )
+    n_prior = 16
+    if isinstance(model, DisentangledConditionalVAE):
+        midx = jnp.asarray(np.arange(n_prior) % model.num_modalities, jnp.int32)
+        samples = model.apply(variables, n_prior, midx, rng,
+                              method=model.sample_conditional)
+    elif isinstance(model, ConditionalVAE):
+        cond = jnp.zeros((n_prior, model.cond_dim))
+        samples = model.apply(variables, n_prior, cond, rng,
+                              method=model.conditional_sample)
+    else:
+        samples = model.apply(variables, n_prior, rng, method=model.sample)
+    plot_samples(
+        np.asarray(jax.device_get(samples)),
+        os.path.join(args.output_dir, "prior_samples.png"),
+        title="Prior samples",
+    )
+    if latents:
+        plot_latent_space(
+            np.concatenate(latents),
+            np.concatenate(latent_labels),
+            os.path.join(args.output_dir, "latent_tsne.png"),
+            method="tsne",
+        )
+
+    print(json.dumps({k: v["mean"] for k, v in summary.items()}, indent=2))
+    print(f"Saved evaluation to {args.output_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,87 @@
+"""`generate` entry point — sample images from a trained checkpoint.
+
+Parity: reference generate.py:18-142 (argparse CLI: load checkpoint →
+model.sample / conditional_sample / sample_conditional → per-sample PNGs +
+grid) and quick_generate_multimodal.py's per-modality grids for the
+disentangled model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medvae_tpu.cli.common import load_model_and_params
+from medvae_tpu.data.medmnist import MODALITY_NAMES, modality_index
+from medvae_tpu.models import ConditionalVAE, DisentangledConditionalVAE
+from medvae_tpu.utils.visualization import save_image, save_image_grid
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Generate samples from a trained VAE")
+    p.add_argument("--model_path", required=True, help="orbax checkpoint directory")
+    p.add_argument("--config", default=None, help="run config.yaml (auto-detected)")
+    p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--modality", default=None, help="e.g. chestmnist / chest_xray")
+    p.add_argument("--output_dir", default="generated")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--per_modality", action="store_true",
+                   help="one grid per modality (disentangled/conditional models)")
+    args = p.parse_args(argv)
+
+    model, params, _ = load_model_and_params(args.model_path, args.config)
+    variables = {"params": params}
+    rng = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+    n = args.num_samples
+
+    def decode_batchless(images):
+        return np.asarray(jax.device_get(images), np.float32)
+
+    if isinstance(model, DisentangledConditionalVAE):
+        modalities = (
+            [modality_index(args.modality)] if args.modality
+            else list(range(model.num_modalities))
+        )
+        if not args.per_modality and args.modality is None:
+            midx = jnp.asarray(np.arange(n) % model.num_modalities, jnp.int32)
+            imgs = model.apply(variables, n, midx, rng, method=model.sample_conditional)
+            save_image_grid(decode_batchless(imgs), os.path.join(args.output_dir, "samples_grid.png"))
+        for m in modalities:
+            midx = jnp.full((n,), m, jnp.int32)
+            imgs = decode_batchless(
+                model.apply(variables, n, midx, jax.random.fold_in(rng, m),
+                            method=model.sample_conditional)
+            )
+            name = MODALITY_NAMES[m]
+            save_image_grid(imgs, os.path.join(args.output_dir, f"samples_{name}.png"))
+            for i in range(min(n, 8)):
+                save_image(imgs[i], os.path.join(args.output_dir, f"{name}_{i:03d}.png"))
+    elif isinstance(model, ConditionalVAE):
+        if args.modality:
+            cond = jnp.asarray(model.get_modality_condition(args.modality))
+            cond = jnp.tile(cond[None], (n, 1))
+        else:
+            cond = jnp.zeros((n, model.cond_dim))
+        imgs = decode_batchless(
+            model.apply(variables, n, cond, rng, method=model.conditional_sample)
+        )
+        save_image_grid(imgs, os.path.join(args.output_dir, "samples_grid.png"))
+        for i in range(min(n, 16)):
+            save_image(imgs[i], os.path.join(args.output_dir, f"sample_{i:03d}.png"))
+    else:
+        imgs = decode_batchless(model.apply(variables, n, rng, method=model.sample))
+        save_image_grid(imgs, os.path.join(args.output_dir, "samples_grid.png"))
+        for i in range(min(n, 16)):
+            save_image(imgs[i], os.path.join(args.output_dir, f"sample_{i:03d}.png"))
+
+    print(f"Saved samples to {args.output_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,181 @@
+"""Device feed: double-buffered, mesh-sharded uint8 batches.
+
+Replaces the reference's DataLoader workers / pin_memory / persistent_workers
+(src/data/medmnist_data.py:428-462). Batches are gathered from the materialized
+uint8 arrays with one fancy-index per step, placed on the mesh asynchronously
+(dispatch is non-blocking in JAX, so host gather of batch N+1 overlaps device
+compute of batch N), with the leading axis sharded over the `data` mesh axis.
+
+Normalization (uint8 → [−1,1], the reference's Normalize(0.5, 0.5)) and
+train-time augmentation (hflip / rotation ±10° / brightness-contrast jitter,
+reference :333-341) are executed on device inside the jitted step — see
+`normalize_and_augment`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from medvae_tpu.core.mesh import data_sharding
+from medvae_tpu.data.medmnist import (
+    CHANNELS_BY_MODALITY_INDEX,
+    MODALITY_NAMES,
+    SplitArrays,
+)
+
+
+class DeviceFeeder:
+    """Iterates device-resident batches over a split.
+
+    * drops the ragged tail in train mode (static shapes under jit), pads the
+      tail with wraparound in eval mode (mask carried so metrics stay exact)
+    * shards the batch axis over the mesh's `data` axis
+    * keeps one batch in flight (double buffering)
+    """
+
+    def __init__(
+        self,
+        arrays: SplitArrays,
+        batch_size: int,
+        mesh: Mesh,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+        n = len(arrays)
+        if drop_last:
+            self.steps_per_epoch = max(1, n // batch_size) if n >= batch_size else 1
+        else:
+            self.steps_per_epoch = (n + batch_size - 1) // batch_size
+
+    def _gather(self, idx: np.ndarray, valid: np.ndarray) -> Dict[str, np.ndarray]:
+        a = self.arrays
+        onehot = np.zeros((len(idx), len(MODALITY_NAMES)), np.float32)
+        onehot[np.arange(len(idx)), a.modality_idx[idx]] = 1.0
+        return {
+            "image_u8": a.images[idx],
+            "label": a.labels[idx],
+            "modality_onehot": onehot,
+            "modality_idx": a.modality_idx[idx],
+            # natural channel count per sample, for on-device channel masking
+            "channels": CHANNELS_BY_MODALITY_INDEX[a.modality_idx[idx]],
+            "valid": valid.astype(np.float32),
+        }
+
+    def _put(self, batch: Dict[str, np.ndarray]):
+        return {
+            k: jax.device_put(v, data_sharding(self.mesh, np.ndim(v)))
+            for k, v in batch.items()
+        }
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, jax.Array]]:
+        n = len(self.arrays)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.seed((epoch + 1) * 9973 + 7)
+            self._rng.shuffle(order)
+
+        bs = self.batch_size
+        pending = None
+        for step in range(self.steps_per_epoch):
+            lo = step * bs
+            hi = min(lo + bs, n)
+            idx = order[lo:hi]
+            valid = np.ones(len(idx), bool)
+            if len(idx) < bs:
+                # wraparound pad, masked invalid (eval-mode tail)
+                pad = order[: bs - len(idx)]
+                valid = np.concatenate([valid, np.zeros(len(pad), bool)])
+                idx = np.concatenate([idx, pad])
+            batch = self._put(self._gather(idx, valid))
+            if pending is not None:
+                yield pending
+            pending = batch
+        if pending is not None:
+            yield pending
+
+
+def normalize_and_augment(
+    image_u8: jax.Array,
+    rng: Optional[jax.Array],
+    *,
+    normalize: bool = True,
+    augment: bool = False,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """On-device preprocessing, fused into the jitted train step.
+
+    uint8 → float [0,1] → (augment) → Normalize(0.5, 0.5) to [−1,1]
+    (reference transform stack, src/data/medmnist_data.py:324-382).
+    Augmentations (train only, reference :333-341): random horizontal flip
+    p=0.5, rotation ±10°, brightness/contrast jitter ±0.1 — all batched, no
+    per-sample host work.
+    """
+    x = image_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+    if augment:
+        assert rng is not None
+        k_flip, k_rot, k_bri, k_con = jax.random.split(rng, 4)
+        b = x.shape[0]
+
+        # horizontal flip (p = 0.5)
+        flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+        # rotation ±10° via batched bilinear resample on a rotated grid
+        angles = jax.random.uniform(k_rot, (b,), minval=-10.0, maxval=10.0)
+        x = _rotate_batch(x, angles * jnp.pi / 180.0)
+
+        # brightness / contrast jitter (torchvision ColorJitter(0.1, 0.1))
+        bri = jax.random.uniform(k_bri, (b, 1, 1, 1), minval=0.9, maxval=1.1)
+        con = jax.random.uniform(k_con, (b, 1, 1, 1), minval=0.9, maxval=1.1)
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        x = jnp.clip((x * bri - mean) * con + mean, 0.0, 1.0)
+
+    if normalize:
+        x = x * 2.0 - 1.0
+    return x
+
+
+def _rotate_batch(x: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rotate each image by its own angle with bilinear sampling (zeros outside)."""
+    b, h, w, c = x.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=x.dtype), jnp.arange(w, dtype=x.dtype), indexing="ij"
+    )
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yc, xc = yy - cy, xx - cx
+    cos = jnp.cos(angles)[:, None, None]
+    sin = jnp.sin(angles)[:, None, None]
+    src_y = cos * yc - sin * xc + cy  # (b, h, w)
+    src_x = sin * yc + cos * xc + cx
+
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    wy = src_y - y0
+    wx = src_x - x0
+
+    def gather(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = jax.vmap(lambda img, yy_, xx_: img[yy_, xx_])(x, yi_c, xi_c)
+        return vals * inside[..., None].astype(x.dtype)
+
+    out = (
+        gather(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
+        + gather(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
+        + gather(y0 + 1, x0) * (wy * (1 - wx))[..., None]
+        + gather(y0 + 1, x0 + 1) * (wy * wx)[..., None]
+    )
+    return out

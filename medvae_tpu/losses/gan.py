@@ -1,0 +1,150 @@
+"""Adversarial (PatchGAN) loss with adaptive generator weighting.
+
+Parity target: LPIPSWithDiscriminator (reference src/losses/vae_losses.py:214-382):
+  * generator objective: perceptual_factor·LPIPS + kl_factor·KL(sum/bsz)
+    + d_weight·(−mean D(recon)) [+ biomedclip_factor·CLIP-feature], with the
+    adversarial term gated on global_step ≥ discriminator_iter_start (:293)
+  * adaptive weight d_weight = ‖∇_last p_loss‖ / (‖∇_last g_loss‖ + 1e-4),
+    clamped to [0, 1e4] and detached (:370-382) — in JAX this is two jax.grad
+    calls w.r.t. the decoder's conv_out kernel, stop_gradient'ed so the outer
+    differentiation treats it as a constant
+  * discriminator objective: hinge loss ½(E relu(1−D(x)) + E relu(1+D(x̂)))
+    on detached reconstructions (:341-368); grayscale repeated to RGB for the
+    discriminator (:297-301, :346-352)
+
+The torch `.detach()` boundaries become `lax.stop_gradient`; step gating becomes
+`jnp.where` on a traced step (both branches are cheap scalar math — the expensive
+D(recon) forward always runs, exactly as in the reference once past the gate;
+before the gate the reference skips it, here its contribution is zeroed, keeping
+the jitted graph static).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medvae_tpu.losses.perceptual import BiomedCLIPLoss, LPIPSLoss, _to_rgb
+
+
+def hinge_d_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
+    """½·(E[relu(1−real)] + E[relu(1+fake)]) (reference :359-362)."""
+    return 0.5 * (
+        jnp.mean(jax.nn.relu(1.0 - logits_real.astype(jnp.float32)))
+        + jnp.mean(jax.nn.relu(1.0 + logits_fake.astype(jnp.float32)))
+    )
+
+
+def adaptive_weight(
+    nll_grads, g_grads, clip_max: float = 1e4, eps: float = 1e-4
+) -> jax.Array:
+    """‖∇ nll‖ / (‖∇ g‖ + eps), clamped and detached (reference :370-382)."""
+
+    def norm(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.sqrt(
+            sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+        )
+
+    w = norm(nll_grads) / (norm(g_grads) + eps)
+    return jax.lax.stop_gradient(jnp.clip(w, 0.0, clip_max))
+
+
+@dataclasses.dataclass
+class LPIPSWithDiscriminator:
+    """Factor bundle + the generator/discriminator loss heads.
+
+    The model-dependent pieces (the discriminator apply fn and the
+    ∇-w.r.t.-last-layer closures) are supplied by the train step; this class
+    owns the frozen perceptual nets and the weighting logic.
+    """
+
+    discriminator_factor: float = 1.0
+    perceptual_factor: float = 1.0
+    kl_factor: float = 1.0
+    discriminator_iter_start: int = 50001
+    use_biomedclip_loss: bool = False
+    biomedclip_factor: float = 1.0
+
+    def __post_init__(self):
+        self.perceptual_loss = LPIPSLoss()
+        self.biomed_clip_loss = (
+            BiomedCLIPLoss(compute_rec_loss=True, compute_lat_loss=False)
+            if self.use_biomedclip_loss
+            else None
+        )
+
+    def init_frozen(self, rng: jax.Array, image_hw: int) -> Dict:
+        k1, k2 = jax.random.split(rng)
+        frozen = {"lpips": self.perceptual_loss.init(k1, image_hw)}
+        if self.biomed_clip_loss is not None:
+            frozen["clip"] = self.biomed_clip_loss.init(k2)
+        return frozen
+
+    # -- generator ---------------------------------------------------------
+
+    def generator_loss(
+        self,
+        frozen: Dict,
+        inputs: jax.Array,
+        reconstructions: jax.Array,
+        kl_per_sample_sum: jax.Array,
+        logits_fake: jax.Array,
+        d_weight: jax.Array,
+        global_step: jax.Array,
+        split: str = "train",
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        bsz = inputs.shape[0]
+        p_loss = self.perceptual_loss(frozen["lpips"], inputs, reconstructions)
+
+        bc_loss = jnp.asarray(0.0, jnp.float32)
+        if self.biomed_clip_loss is not None:
+            bc_loss = self.biomed_clip_loss(
+                frozen["clip"], inputs, rec=reconstructions
+            )
+
+        kl_loss = jnp.sum(kl_per_sample_sum.astype(jnp.float32)) / bsz
+
+        d_valid = (global_step >= self.discriminator_iter_start).astype(jnp.float32)
+        g_loss = -jnp.mean(logits_fake.astype(jnp.float32))
+        eff_weight = d_valid * d_weight * self.discriminator_factor
+
+        loss = (
+            self.perceptual_factor * p_loss
+            + self.kl_factor * kl_loss
+            + eff_weight * g_loss
+        )
+        if self.biomed_clip_loss is not None:
+            loss = loss + self.biomedclip_factor * bc_loss
+
+        log = {
+            f"{split}/total_loss": jax.lax.stop_gradient(loss),
+            f"{split}/kl_loss": jax.lax.stop_gradient(kl_loss),
+            f"{split}/p_loss": jax.lax.stop_gradient(p_loss),
+            f"{split}/d_weight": eff_weight,
+            f"{split}/g_loss": jax.lax.stop_gradient(d_valid * g_loss),
+        }
+        if self.biomed_clip_loss is not None:
+            log[f"{split}/bc_loss"] = jax.lax.stop_gradient(bc_loss)
+        return loss, log
+
+    # -- discriminator ------------------------------------------------------
+
+    def discriminator_loss(
+        self,
+        logits_real: jax.Array,
+        logits_fake: jax.Array,
+        global_step: jax.Array,
+        split: str = "train",
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        d_valid = (global_step >= self.discriminator_iter_start).astype(jnp.float32)
+        d_loss = d_valid * hinge_d_loss(logits_real, logits_fake)
+        return d_loss, {f"{split}/d_loss": jax.lax.stop_gradient(d_loss)}
+
+
+def discriminator_input(x: jax.Array) -> jax.Array:
+    """Grayscale → RGB repeat for the PatchGAN (reference :297-301)."""
+    return _to_rgb(x)

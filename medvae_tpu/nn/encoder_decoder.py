@@ -1,0 +1,204 @@
+"""VAE Encoder / Decoder (MedVAE-style ResNet + attention conv stacks).
+
+Structural parity with the reference (src/models/encoder_decoder.py:212-451):
+  Encoder: conv_in → per-level [num_res_blocks × (ResnetBlock [+Attn])] →
+           Downsample ×(levels−1) → mid(Res, Attn, Res) → GN+swish+conv_out
+           emitting 2·z_channels maps when double_z.
+  Decoder: conv_in(z) → mid(Res, Attn, Res) → per-level
+           [(num_res_blocks+1) × (ResnetBlock [+Attn])] → Upsample ×(levels−1) →
+           GN+swish+conv_out (optional tanh).
+
+TPU-first differences: NHWC, static shapes, bf16-capable conv dtype, attention
+insertion resolved at construction time (no Python branching under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medvae_tpu.nn.blocks import Downsample, ResnetBlock, Upsample, group_norm, make_attn, swish
+
+
+class Encoder(nn.Module):
+    ch: int
+    out_ch: int
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    in_channels: int
+    resolution: int
+    z_channels: int
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    double_z: bool = True
+    use_linear_attn: bool = False
+    attn_type: str = "vanilla"
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, deterministic: bool = True
+    ) -> jax.Array:
+        attn_type = "linear" if self.use_linear_attn else self.attn_type
+        num_resolutions = len(self.ch_mult)
+        in_ch_mult = (1,) + tuple(self.ch_mult)
+
+        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+
+        curr_res = self.resolution
+        block_in = self.ch
+        for i_level in range(num_resolutions):
+            block_in = self.ch * in_ch_mult[i_level]
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = ResnetBlock(
+                    in_channels=block_in,
+                    out_channels=block_out,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"down_{i_level}_block_{i_block}",
+                )(h, deterministic=deterministic)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = make_attn(
+                        block_in,
+                        attn_type=attn_type,
+                        dtype=self.dtype,
+                        use_pallas=self.use_pallas,
+                        name=f"down_{i_level}_attn_{i_block}",
+                    )(h)
+            if i_level != num_resolutions - 1:
+                h = Downsample(
+                    block_in,
+                    self.resamp_with_conv,
+                    dtype=self.dtype,
+                    name=f"down_{i_level}_downsample",
+                )(h)
+                curr_res //= 2
+
+        # middle
+        h = ResnetBlock(
+            in_channels=block_in,
+            out_channels=block_in,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mid_block_1",
+        )(h, deterministic=deterministic)
+        h = make_attn(
+            block_in,
+            attn_type=attn_type,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="mid_attn_1",
+        )(h)
+        h = ResnetBlock(
+            in_channels=block_in,
+            out_channels=block_in,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mid_block_2",
+        )(h, deterministic=deterministic)
+
+        # end
+        h = swish(group_norm(block_in, name="norm_out")(h))
+        out_channels = 2 * self.z_channels if self.double_z else self.z_channels
+        h = nn.Conv(
+            out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(h)
+        return h
+
+
+class Decoder(nn.Module):
+    ch: int
+    out_ch: int
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    in_channels: int
+    resolution: int
+    z_channels: int
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    give_pre_end: bool = False
+    tanh_out: bool = False
+    use_linear_attn: bool = False
+    attn_type: str = "vanilla"
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, z: jax.Array, *, deterministic: bool = True
+    ) -> jax.Array:
+        attn_type = "linear" if self.use_linear_attn else self.attn_type
+        num_resolutions = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[num_resolutions - 1]
+        curr_res = self.resolution // 2 ** (num_resolutions - 1)
+
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+
+        # middle
+        h = ResnetBlock(
+            in_channels=block_in,
+            out_channels=block_in,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mid_block_1",
+        )(h, deterministic=deterministic)
+        h = make_attn(
+            block_in,
+            attn_type=attn_type,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="mid_attn_1",
+        )(h)
+        h = ResnetBlock(
+            in_channels=block_in,
+            out_channels=block_in,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mid_block_2",
+        )(h, deterministic=deterministic)
+
+        # upsampling (reference iterates reversed(range(levels)), :434-440)
+        for i_level in reversed(range(num_resolutions)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlock(
+                    in_channels=block_in,
+                    out_channels=block_out,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h, deterministic=deterministic)
+                block_in = block_out
+                if curr_res in self.attn_resolutions:
+                    h = make_attn(
+                        block_in,
+                        attn_type=attn_type,
+                        dtype=self.dtype,
+                        use_pallas=self.use_pallas,
+                        name=f"up_{i_level}_attn_{i_block}",
+                    )(h)
+            if i_level != 0:
+                h = Upsample(
+                    block_in,
+                    self.resamp_with_conv,
+                    dtype=self.dtype,
+                    name=f"up_{i_level}_upsample",
+                )(h)
+                curr_res *= 2
+
+        if self.give_pre_end:
+            return h
+
+        h = swish(group_norm(block_in, name="norm_out")(h))
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        if self.tanh_out:
+            h = jnp.tanh(h)
+        return h

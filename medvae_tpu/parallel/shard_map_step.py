@@ -1,0 +1,129 @@
+"""Explicit shard_map data-parallel train step.
+
+The reference has no distributed story at all (Lightning devices: 1, SURVEY
+§2.3); this module is the TPU-native equivalent of the DDP/NCCL layer it lacks:
+the batch is split over the mesh's `data` axis, each shard runs the model
+locally, gradients are averaged with `jax.lax.pmean` over ICI, and the two
+batch-global disentanglement losses (modality separation + InfoNCE contrastive,
+which couple *all* samples in the batch) are computed on an `all_gather`ed
+latent so multi-chip training is bit-equivalent to single-chip large-batch
+training — not an approximation over per-shard sub-batches.
+
+The default training path (train/step.py) uses jit + NamedShardings and lets
+XLA insert the same collectives; this explicit version exists (a) as the
+documented collective design, (b) for the driver's multi-chip dry-run, and
+(c) as an A/B lever if XLA's automatic partitioning ever schedules the
+collectives suboptimally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from medvae_tpu.core.mesh import DATA_AXIS
+from medvae_tpu.models import DisentangledConditionalVAE
+from medvae_tpu.train.state import TrainState
+from medvae_tpu.train.step import make_criterion, make_forward_fn, preprocess
+
+
+def build_shard_map_train_step(
+    model,
+    loss_cfg: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    augment: bool = False,
+    normalize: bool = True,
+    max_channels: int = 3,
+):
+    """Returns step(state, batch, rng) -> (state, metrics); batch axis must be
+    divisible by the mesh's data-axis size."""
+    forward = make_forward_fn(model)
+    criterion = make_criterion(loss_cfg, model)
+    compute_dtype = getattr(model, "dtype", jnp.float32)
+    is_disentangled = isinstance(model, DisentangledConditionalVAE)
+
+    def shard_fn(state: TrainState, batch, rng):
+        # per-shard RNG: fold in the data-axis index so every shard draws
+        # distinct sampling/augmentation noise
+        axis = jax.lax.axis_index(DATA_AXIS)
+        k = jax.random.fold_in(jax.random.fold_in(rng, state.step), axis)
+        ks, kd, ka = jax.random.split(k, 3)
+        rngs = {"sample": ks, "dropout": kd}
+
+        x = preprocess(
+            batch,
+            ka,
+            augment=augment,
+            normalize=normalize,
+            max_channels=max_channels,
+            dtype=compute_dtype,
+        )
+
+        def loss_fn(params):
+            outputs = forward(params, x, batch, rngs, deterministic=False)
+            if is_disentangled:
+                # batch-global losses over the gathered latent: exact
+                # large-batch semantics across shards
+                z_all = jax.lax.all_gather(
+                    outputs["z"], DATA_AXIS, axis=0, tiled=True
+                )
+                midx_all = jax.lax.all_gather(
+                    batch["modality_idx"], DATA_AXIS, axis=0, tiled=True
+                )
+                outputs = dict(outputs)
+                outputs["separation_loss"] = model.apply(
+                    {"params": params},
+                    z_all,
+                    midx_all,
+                    method=model.modality_separation_loss,
+                )
+                outputs["contrastive_loss"] = model.apply(
+                    {"params": params},
+                    z_all,
+                    midx_all,
+                    method=model.contrastive_loss,
+                )
+            loss_dict = criterion(state.frozen, outputs, x)
+            return loss_dict["loss"], loss_dict
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # the NCCL-all-reduce analogue: gradient mean over ICI
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss_dict = jax.lax.pmean(loss_dict, DATA_AXIS)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {f"train/{k}": v for k, v in loss_dict.items()}
+        metrics["train/grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        return new_state, metrics
+
+    state_spec = P()  # replicated
+    batch_spec = {
+        "image_u8": P(DATA_AXIS),
+        "label": P(DATA_AXIS),
+        "modality_onehot": P(DATA_AXIS),
+        "modality_idx": P(DATA_AXIS),
+        "channels": P(DATA_AXIS),
+        "valid": P(DATA_AXIS),
+    }
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, P()),
+        out_specs=(state_spec, state_spec),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))

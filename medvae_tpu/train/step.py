@@ -1,0 +1,426 @@
+"""Jitted train / eval steps.
+
+Replaces the Lightning training_step / validation_step / manual dual-optimizer
+GAN loop (reference src/lightning_module.py:98-312) with pure, jitted functions
+over a device mesh:
+
+  * one `jax.jit` with NamedShardings — batch sharded over the `data` mesh axis,
+    params replicated; XLA inserts the gradient all-reduce over ICI (the NCCL
+    analogue, SURVEY §2.3). The explicit `shard_map` variant lives in
+    medvae_tpu/parallel/shard_map_step.py and is numerically identical.
+  * batch preprocessing (uint8 → [−1,1], channel masking, augmentation) is fused
+    into the step — the host ships uint8 only.
+  * loss dispatch by loss_config.type happens at build time (static), mirroring
+    the reference dispatch (lightning_module.py:46-86).
+  * the GAN path performs the generator update and the discriminator update in
+    one step function (dual optimizer states, step-gated discriminator start,
+    adaptive adversarial weight via two nested jax.grads w.r.t. the decoder's
+    conv_out kernel — reference vae_losses.py:370-382).
+
+Reference quirks intentionally not replicated (documented in SURVEY §7):
+  * `posteriors.kl()` in the reference GAN path would raise on
+    torch.distributions.Normal; we compute the intended sum-KL/bsz.
+  * BetaVAE's β is never applied by the reference trainer (compute_loss is
+    dead code); pass loss.use_model_beta=true to actually apply it here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from medvae_tpu.core.mesh import DATA_AXIS
+from medvae_tpu.data.pipeline import normalize_and_augment
+from medvae_tpu.losses.elbo import DisentangledVAELoss, VAELoss, gaussian_kl
+from medvae_tpu.losses.gan import (
+    LPIPSWithDiscriminator,
+    adaptive_weight,
+    discriminator_input,
+)
+from medvae_tpu.losses.perceptual import BiomedCLIPLoss, LPIPSLoss
+from medvae_tpu.models import ConditionalVAE, DisentangledConditionalVAE
+from medvae_tpu.train.metrics import kl_metrics, latent_metrics, reconstruction_metrics
+from medvae_tpu.train.state import TrainState
+
+
+# --------------------------------------------------------------------------- #
+# model forward dispatch (reference lightning_module.py:113-128)               #
+# --------------------------------------------------------------------------- #
+
+
+def make_forward_fn(model) -> Callable:
+    """Returns forward(params, x, batch, rngs, deterministic) -> outputs dict."""
+    if isinstance(model, DisentangledConditionalVAE):
+
+        def forward(params, x, batch, rngs, deterministic=True):
+            return model.apply(
+                {"params": params},
+                x,
+                batch["modality_idx"],
+                deterministic=deterministic,
+                rngs=rngs,
+            )
+
+    elif isinstance(model, ConditionalVAE):
+
+        def forward(params, x, batch, rngs, deterministic=True):
+            return model.apply(
+                {"params": params},
+                x,
+                batch["modality_onehot"],
+                deterministic=deterministic,
+                rngs=rngs,
+            )
+
+    else:
+
+        def forward(params, x, batch, rngs, deterministic=True):
+            return model.apply(
+                {"params": params}, x, deterministic=deterministic, rngs=rngs
+            )
+
+    return forward
+
+
+def preprocess(
+    batch: Dict[str, jax.Array],
+    rng: Optional[jax.Array],
+    *,
+    augment: bool,
+    normalize: bool = True,
+    max_channels: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """uint8 → normalized float, padded channels re-zeroed (the reference pads
+    *after* per-modality normalization, medmnist_data.py:50-72, so padding must
+    stay exactly 0, not −1)."""
+    x = normalize_and_augment(
+        batch["image_u8"], rng, normalize=normalize, augment=augment, dtype=dtype
+    )
+    if "channels" in batch and max_channels > 1:
+        mask = (
+            jnp.arange(max_channels)[None, :] < batch["channels"][:, None]
+        ).astype(x.dtype)
+        x = x * mask[:, None, None, :]
+    return x
+
+
+# --------------------------------------------------------------------------- #
+# criterion dispatch (reference lightning_module.py:46-86)                     #
+# --------------------------------------------------------------------------- #
+
+
+def make_criterion(loss_cfg: Dict[str, Any], model) -> Callable:
+    """Returns criterion(frozen, outputs, targets) -> loss dict (fp32 scalars)."""
+    loss_type = str(loss_cfg.get("type", "vae"))
+
+    if loss_type == "vae":
+        beta = 1.0
+        if loss_cfg.get("use_model_beta") and hasattr(model, "beta"):
+            beta = float(model.beta)
+        crit = VAELoss(
+            recon_loss_type=loss_cfg.get("recon_loss_type", "mse"),
+            kl_weight=float(loss_cfg.get("kl_weight", 1.0)),
+            recon_weight=float(loss_cfg.get("recon_weight", 1.0)),
+            beta=beta,
+        )
+        return lambda frozen, outputs, targets: crit(outputs, targets)
+
+    if loss_type == "disentangled_vae":
+        crit = DisentangledVAELoss(
+            recon_loss_type=loss_cfg.get("recon_loss_type", "mse"),
+            kl_weight=float(loss_cfg.get("kl_weight", 1.0)),
+            recon_weight=float(loss_cfg.get("recon_weight", 1.0)),
+            separation_weight=float(loss_cfg.get("separation_weight", 0.1)),
+            contrastive_weight=float(loss_cfg.get("contrastive_weight", 0.05)),
+        )
+        return lambda frozen, outputs, targets: crit(outputs, targets)
+
+    if loss_type == "lpips":
+        lp = LPIPSLoss()
+
+        def criterion(frozen, outputs, targets):
+            loss = lp(frozen["lpips"], targets, outputs["reconstruction"])
+            return {"loss": loss, "p_loss": loss}
+
+        return criterion
+
+    if loss_type == "biomedclip":
+        bc = BiomedCLIPLoss(compute_rec_loss=True, compute_lat_loss=False)
+
+        def criterion(frozen, outputs, targets):
+            loss = bc(frozen["clip"], targets, rec=outputs["reconstruction"])
+            return {"loss": loss, "bc_loss": loss}
+
+        return criterion
+
+    raise ValueError(f"Unknown loss type: {loss_type}")
+
+
+def make_gan_loss(loss_cfg: Dict[str, Any]) -> LPIPSWithDiscriminator:
+    return LPIPSWithDiscriminator(
+        discriminator_factor=float(loss_cfg.get("discriminator_factor", 1.0)),
+        perceptual_factor=float(loss_cfg.get("perceptual_factor", 1.0)),
+        kl_factor=float(loss_cfg.get("kl_factor", 1.0)),
+        discriminator_iter_start=int(loss_cfg.get("discriminator_iter_start", 50001)),
+        use_biomedclip_loss=bool(loss_cfg.get("use_biomedclip_loss", False)),
+        biomedclip_factor=float(loss_cfg.get("biomedclip_factor", 1.0)),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# step builders                                                                #
+# --------------------------------------------------------------------------- #
+
+
+def _shardings(mesh: Mesh):
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return repl, data
+
+
+def _batch_sharding(mesh: Mesh, batch_spec: Dict[str, int]):
+    data = {
+        k: NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1))))
+        for k, nd in batch_spec.items()
+    }
+    return data
+
+
+def build_train_step(
+    model,
+    loss_cfg: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    augment: bool = False,
+    normalize: bool = True,
+    max_channels: int = 3,
+    disc=None,
+    disc_tx: Optional[optax.GradientTransformation] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step. Returns step(state, batch, rng) -> (state, metrics)."""
+    forward = make_forward_fn(model)
+    loss_type = str(loss_cfg.get("type", "vae"))
+    use_gan = loss_type == "lpips_discriminator"
+    gan_loss = make_gan_loss(loss_cfg) if use_gan else None
+    criterion = None if use_gan else make_criterion(loss_cfg, model)
+    compute_dtype = getattr(model, "dtype", jnp.float32)
+
+    def _rngs(rng, step):
+        k = jax.random.fold_in(rng, step)
+        ks, kd, ka = jax.random.split(k, 3)
+        return {"sample": ks, "dropout": kd}, ka
+
+    # ---------------- standard single-optimizer path ----------------------
+    def train_step(state: TrainState, batch, rng):
+        rngs, k_aug = _rngs(rng, state.step)
+        x = preprocess(
+            batch,
+            k_aug,
+            augment=augment,
+            normalize=normalize,
+            max_channels=max_channels,
+            dtype=compute_dtype,
+        )
+
+        def loss_fn(params):
+            outputs = forward(params, x, batch, rngs, deterministic=False)
+            loss_dict = criterion(state.frozen, outputs, x)
+            return loss_dict["loss"], loss_dict
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {f"train/{k}": v for k, v in loss_dict.items()}
+        metrics["train/grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        return new_state, metrics
+
+    # ---------------- GAN dual-optimizer path ------------------------------
+    def gan_train_step(state: TrainState, batch, rng):
+        rngs, k_aug = _rngs(rng, state.step)
+        x = preprocess(
+            batch,
+            k_aug,
+            augment=augment,
+            normalize=normalize,
+            max_channels=max_channels,
+            dtype=compute_dtype,
+        )
+        disc_vars = {
+            "params": state.disc_params,
+            "batch_stats": state.disc_batch_stats,
+        }
+
+        def run_model(params):
+            outputs = forward(params, x, batch, rngs, deterministic=False)
+            kl_el = gaussian_kl(outputs["mean"], outputs["logvar"])
+            kl_per_sample = jnp.sum(kl_el.reshape(kl_el.shape[0], -1), axis=1)
+            return outputs, kl_per_sample
+
+        # adaptive weight: ∇ w.r.t. the decoder's conv_out kernel of the
+        # perceptual loss vs the adversarial loss (reference vae_losses.py:370-382)
+        last_path = ("decoder", "conv_out", "kernel")
+
+        def _with_last(params, kernel):
+            d = params
+            sub = dict(d[last_path[0]])
+            inner = dict(sub[last_path[1]])
+            inner[last_path[2]] = kernel
+            sub[last_path[1]] = inner
+            out = dict(d)
+            out[last_path[0]] = sub
+            return out
+
+        def p_of_kernel(kernel):
+            outs, _ = run_model(_with_last(state.params, kernel))
+            return gan_loss.perceptual_loss(
+                state.frozen["lpips"], x, outs["reconstruction"]
+            )
+
+        def g_of_kernel(kernel):
+            outs, _ = run_model(_with_last(state.params, kernel))
+            logits = disc.apply(
+                disc_vars, discriminator_input(outs["reconstruction"]), train=False
+            )
+            return -jnp.mean(logits.astype(jnp.float32))
+
+        kernel0 = state.params[last_path[0]][last_path[1]][last_path[2]]
+        nll_grads = jax.grad(p_of_kernel)(kernel0)
+        g_grads = jax.grad(g_of_kernel)(kernel0)
+        d_weight = adaptive_weight(nll_grads, g_grads)
+
+        def g_loss_fn(params):
+            outputs, kl_per_sample = run_model(params)
+            logits_fake = disc.apply(
+                disc_vars,
+                discriminator_input(outputs["reconstruction"]),
+                train=False,
+            )
+            loss, log = gan_loss.generator_loss(
+                state.frozen,
+                x,
+                outputs["reconstruction"],
+                kl_per_sample,
+                logits_fake,
+                d_weight,
+                state.step,
+            )
+            return loss, (log, outputs)
+
+        (_, (g_log, outputs)), g_grads_full = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.params)
+        g_updates, new_opt = tx.update(g_grads_full, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, g_updates)
+
+        # discriminator step on detached reconstructions (reference :153-167)
+        recon_detached = jax.lax.stop_gradient(outputs["reconstruction"])
+
+        def d_loss_fn(disc_params):
+            v = {"params": disc_params, "batch_stats": state.disc_batch_stats}
+            logits_real, mut1 = disc.apply(
+                v, discriminator_input(x), train=True, mutable=["batch_stats"]
+            )
+            v2 = {"params": disc_params, "batch_stats": mut1["batch_stats"]}
+            logits_fake, mut2 = disc.apply(
+                v2,
+                discriminator_input(recon_detached),
+                train=True,
+                mutable=["batch_stats"],
+            )
+            d_loss, d_log = gan_loss.discriminator_loss(
+                logits_real, logits_fake, state.step
+            )
+            return d_loss, (d_log, mut2["batch_stats"])
+
+        (_, (d_log, new_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.disc_params)
+        d_updates, new_disc_opt = disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params
+        )
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        metrics = {**g_log, **d_log}
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            disc_params=new_disc_params,
+            disc_batch_stats=new_stats,
+            disc_opt_state=new_disc_opt,
+        )
+        return new_state, metrics
+
+    fn = gan_train_step if use_gan else train_step
+    repl, _ = _shardings(mesh)
+    jitted = jax.jit(
+        fn,
+        donate_argnums=(0,) if donate else (),
+        out_shardings=(repl, repl),
+    )
+    return jitted
+
+
+def build_eval_step(
+    model,
+    loss_cfg: Dict[str, Any],
+    mesh: Mesh,
+    *,
+    normalize: bool = True,
+    max_channels: int = 3,
+):
+    """Eval step: forward (no dropout) + loss + recon/KL/latent metrics, all
+    masked by batch validity (reference validation_step :220-311)."""
+    forward = make_forward_fn(model)
+    loss_type = str(loss_cfg.get("type", "vae"))
+    if loss_type == "lpips_discriminator":
+        # validation logs the plain VAE objective components (the reference
+        # computes criterion-specific val losses; recon metrics dominate)
+        criterion = make_criterion({"type": "vae"}, model)
+    else:
+        criterion = make_criterion(loss_cfg, model)
+    compute_dtype = getattr(model, "dtype", jnp.float32)
+
+    def eval_step(state: TrainState, batch, rng):
+        rngs = {"sample": jax.random.fold_in(rng, state.step)}
+        x = preprocess(
+            batch, None, augment=False, normalize=normalize,
+            max_channels=max_channels, dtype=compute_dtype,
+        )
+        outputs = forward(state.params, x, batch, rngs, deterministic=True)
+        loss_dict = criterion(state.frozen, outputs, x)
+        valid = batch.get("valid")
+        metrics = {f"val/{k}": v for k, v in loss_dict.items()}
+        metrics.update(
+            {f"val/{k}": v for k, v in reconstruction_metrics(
+                outputs["reconstruction"], x, valid
+            ).items()}
+        )
+        metrics.update(
+            {f"val/{k}": v for k, v in kl_metrics(
+                outputs["mean"], outputs["logvar"], valid
+            ).items()}
+        )
+        metrics.update(
+            {f"val/{k}": v for k, v in latent_metrics(outputs["z"], valid).items()}
+        )
+        metrics["val/_weight"] = jnp.sum(
+            valid if valid is not None else jnp.ones((x.shape[0],))
+        )
+        return metrics
+
+    repl, _ = _shardings(mesh)
+    return jax.jit(eval_step, out_shardings=repl)

@@ -1,0 +1,322 @@
+"""Training orchestration.
+
+Replaces `L.Trainer` + `VAELightningModule` (reference main.py:86-120,
+src/lightning_module.py) with an explicit loop over jitted steps:
+
+  * mesh + precision policy from config (core/)
+  * model built from the Hydra-style config via instantiate()
+  * DeviceFeeder streaming uint8 batches sharded over the mesh
+  * jit train step (XLA-inserted collectives) or the explicit shard_map step
+  * per-epoch (or mid-epoch, val_check_interval) validation with on-device
+    metric accumulation
+  * orbax checkpointing (best-k / last / final), early stopping, metric logging
+  * optional jax.profiler trace around the first steps (--profile / cfg.debug)
+
+The forward/loss math lives in train/step.py; this file is control flow only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medvae_tpu.config import instantiate
+from medvae_tpu.core.mesh import MeshSpec, create_mesh, replicate
+from medvae_tpu.core.rng import set_seed
+from medvae_tpu.data.medmnist import MedMNISTDataModule
+from medvae_tpu.data.pipeline import DeviceFeeder
+from medvae_tpu.losses.perceptual import BiomedCLIPLoss
+from medvae_tpu.models import ConditionalVAE, DisentangledConditionalVAE
+from medvae_tpu.nn.discriminator import NLayerDiscriminator
+from medvae_tpu.train.checkpoint import CheckpointManager
+from medvae_tpu.train.optim import build_optimizer, discriminator_optimizer
+from medvae_tpu.train.state import create_train_state, param_count
+from medvae_tpu.train.step import build_eval_step, build_train_step, make_gan_loss
+from medvae_tpu.utils.logging import MetricLogger
+from medvae_tpu.utils.training_utils import EarlyStopping
+
+
+def build_model(model_cfg: Dict[str, Any], precision: str = "bf16", use_pallas: bool = True):
+    """Instantiate a model from config with the TPU precision policy applied."""
+    dtype = jnp.bfloat16 if str(precision) in ("bf16", "16", "bfloat16") else jnp.float32
+    extra = {"dtype": dtype, "use_pallas": bool(use_pallas)}
+    cfg = dict(model_cfg)
+    # tuples for hashable flax fields
+    for k in ("ch_mult", "attn_resolutions"):
+        if k in cfg and isinstance(cfg[k], list):
+            cfg[k] = tuple(cfg[k])
+    if "modalities" in cfg and isinstance(cfg["modalities"], list):
+        cfg["modalities"] = tuple(cfg["modalities"])
+    return instantiate(cfg, **extra)
+
+
+def init_model_variables(model, datamodule: MedMNISTDataModule, rng: jax.Array):
+    """Initialize params with a dummy batch of the right shapes (jitted so
+    initialization is ONE compiled program, not dozens of eager op compiles —
+    matters a lot when the backend is a remote tunnel)."""
+    c = datamodule.max_channels
+    x = jnp.zeros((2, datamodule.size, datamodule.size, c), model.dtype)
+    rngs = {"params": rng, "sample": jax.random.fold_in(rng, 1)}
+    if isinstance(model, DisentangledConditionalVAE):
+        return jax.jit(model.init)(rngs, x, jnp.zeros((2,), jnp.int32))
+    if isinstance(model, ConditionalVAE):
+        cond = jnp.zeros((2, model.cond_dim), model.dtype)
+        return jax.jit(model.init)(rngs, x, cond)
+    return jax.jit(model.init)(rngs, x)
+
+
+class Trainer:
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        self.seed_key = set_seed(int(cfg.get("seed", 42)))
+        mesh_cfg = cfg.get("mesh", {}) or {}
+        self.mesh = create_mesh(
+            MeshSpec(
+                data=int(mesh_cfg.get("data", -1)), model=int(mesh_cfg.get("model", 1))
+            )
+        )
+
+        # data ---------------------------------------------------------------
+        self.datamodule: MedMNISTDataModule = instantiate(cfg["data"])
+        self.datamodule.setup(None)
+
+        # model ---------------------------------------------------------------
+        self.model = build_model(
+            cfg["model"],
+            precision=cfg.get("precision", "bf16"),
+            use_pallas=bool(cfg.get("use_pallas", True)),
+        )
+        self.variables = init_model_variables(
+            self.model, self.datamodule, self.seed_key
+        )
+        params = self.variables["params"]
+        n_params = param_count(params)
+        print(f"Model: {type(self.model).__name__}  ({n_params:,} parameters)")
+
+        tcfg = cfg["training"]
+        self.loss_cfg = dict(tcfg.get("loss", {"type": "vae"}))
+        if "discriminator" in tcfg:
+            self.loss_cfg.setdefault("discriminator", dict(tcfg["discriminator"]))
+        bs = int(self.datamodule.batch_size)
+        steps_per_epoch = max(1, len(self.datamodule.train_arrays) // bs)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.tx = build_optimizer(
+            dict(tcfg.get("optimizer", {})),
+            dict(tcfg.get("scheduler", {}) or {}),
+            steps_per_epoch=steps_per_epoch,
+            gradient_clip_val=tcfg.get("gradient_clip_val", 1.0),
+        )
+
+        # GAN extras -----------------------------------------------------------
+        use_gan = str(self.loss_cfg.get("type")) == "lpips_discriminator"
+        disc = disc_vars = disc_tx = None
+        frozen = {}
+        if use_gan:
+            dcfg = dict(self.loss_cfg.get("discriminator") or
+                        {"input_nc": 3, "ndf": 64, "n_layers": 3})
+            disc = NLayerDiscriminator(**dcfg)
+            disc_vars = disc.init(
+                jax.random.fold_in(self.seed_key, 7),
+                jnp.zeros((2, self.datamodule.size, self.datamodule.size, 3)),
+                train=False,
+            )
+            disc_tx = discriminator_optimizer(
+                dict(tcfg.get("optimizer", {})),
+                dict(tcfg.get("scheduler", {}) or {}),
+                steps_per_epoch=steps_per_epoch,
+                gradient_clip_val=tcfg.get("gradient_clip_val", 1.0),
+            )
+            gan_loss = make_gan_loss(self.loss_cfg)
+            frozen = gan_loss.init_frozen(
+                jax.random.fold_in(self.seed_key, 11), self.datamodule.size
+            )
+        elif str(self.loss_cfg.get("type")) == "lpips":
+            from medvae_tpu.losses.perceptual import LPIPSLoss
+
+            frozen = {
+                "lpips": LPIPSLoss().init(
+                    jax.random.fold_in(self.seed_key, 11), self.datamodule.size
+                )
+            }
+        elif str(self.loss_cfg.get("type")) == "biomedclip":
+            frozen = {
+                "clip": BiomedCLIPLoss().init(jax.random.fold_in(self.seed_key, 11))
+            }
+
+        self.state = create_train_state(
+            params, self.tx, frozen=frozen, disc_variables=disc_vars, disc_tx=disc_tx
+        )
+        self.state = replicate(self.mesh, self.state)
+
+        self.train_step = build_train_step(
+            self.model,
+            self.loss_cfg,
+            self.tx,
+            self.mesh,
+            augment=bool(self.datamodule.augment_train),
+            normalize=bool(self.datamodule.normalize),
+            max_channels=self.datamodule.max_channels,
+            disc=disc,
+            disc_tx=disc_tx,
+        )
+        self.eval_step = build_eval_step(
+            self.model,
+            self.loss_cfg,
+            self.mesh,
+            normalize=bool(self.datamodule.normalize),
+            max_channels=self.datamodule.max_channels,
+        )
+
+        # bookkeeping -----------------------------------------------------------
+        ckpt_cfg = cfg.get("checkpointing", {}) or {}
+        ckpt_dir = os.path.join(
+            cfg.get("checkpoint_dir", "logs/checkpoints"),
+            cfg.get("experiment_name", "run"),
+        )
+        self.ckpt = CheckpointManager(
+            ckpt_dir,
+            save_top_k=int(ckpt_cfg.get("save_top_k", 3)),
+            monitor=ckpt_cfg.get("monitor", "val/loss"),
+            mode=ckpt_cfg.get("mode", "min"),
+            save_last=bool(ckpt_cfg.get("save_last", True)),
+        )
+        # persist the composed config next to the checkpoints so generate/
+        # evaluate/analyze can rebuild the model without the original CLI
+        import yaml
+
+        with open(os.path.join(ckpt_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(
+                cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg), f
+            )
+
+        es_cfg = cfg.get("early_stopping", {}) or {}
+        self.early_stopping = (
+            EarlyStopping(
+                patience=int(es_cfg.get("patience", 20)),
+                mode=es_cfg.get("mode", "min"),
+                monitor=es_cfg.get("monitor", "val/loss"),
+            )
+            if es_cfg.get("enabled", False)
+            else None
+        )
+        self.logger = MetricLogger(
+            cfg.get("log_dir", "logs"),
+            cfg.get("experiment_name", "run"),
+            config=cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg),
+            wandb_cfg=cfg.get("wandb"),
+        )
+        self.rng = jax.random.fold_in(self.seed_key, 0xBEEF)
+        if cfg.get("debug", {}).get("nan_checks"):
+            jax.config.update("jax_debug_nans", True)
+
+    # ------------------------------------------------------------------ #
+
+    def _feeder(self, split: str, shuffle: bool, drop_last: bool) -> DeviceFeeder:
+        return DeviceFeeder(
+            self.datamodule.split(split),
+            self.datamodule.batch_size,
+            self.mesh,
+            shuffle=shuffle,
+            drop_last=drop_last,
+            seed=int(self.cfg.get("seed", 42)),
+        )
+
+    def validate(self, split: str = "val") -> Dict[str, float]:
+        feeder = self._feeder(split, shuffle=False, drop_last=False)
+        acc: Dict[str, Any] = {}
+        weight_total = 0.0
+        for batch in feeder.epoch(0):
+            m = self.eval_step(self.state, batch, self.rng)
+            w = float(jax.device_get(m.pop("val/_weight")))
+            weight_total += w
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(jax.device_get(v)) * w
+        out = {k: v / max(weight_total, 1.0) for k, v in acc.items()}
+        if split != "val":
+            out = {k.replace("val/", f"{split}/", 1): v for k, v in out.items()}
+        return out
+
+    def fit(self) -> Dict[str, float]:
+        tcfg = self.cfg["training"]
+        max_epochs = int(tcfg.get("max_epochs", 10))
+        log_every = int(tcfg.get("log_every_n_steps", 50))
+        val_interval = float(tcfg.get("val_check_interval", 1.0))
+        check_every = int(tcfg.get("check_val_every_n_epoch", 1))
+        profile = bool(self.cfg.get("debug", {}).get("profile", False))
+
+        limit_train = int(tcfg.get("limit_train_batches", 0)) or None
+
+        feeder = self._feeder("train", shuffle=True, drop_last=True)
+        last_val: Dict[str, float] = {}
+        t_start = time.time()
+        images_seen = 0
+        mid_val_at = (
+            int(self.steps_per_epoch * val_interval) if 0 < val_interval < 1 else None
+        )
+
+        if profile:
+            jax.profiler.start_trace(os.path.join(self.logger.dir, "profile"))
+
+        try:
+            for epoch in range(max_epochs):
+                epoch_t0 = time.time()
+                for i, batch in enumerate(feeder.epoch(epoch)):
+                    if limit_train and i >= limit_train:
+                        break
+                    self.state, metrics = self.train_step(self.state, batch, self.rng)
+                    images_seen += self.datamodule.batch_size
+                    step = epoch * self.steps_per_epoch + i + 1
+                    if step % log_every == 0:
+                        host = {
+                            k: float(jax.device_get(v)) for k, v in metrics.items()
+                        }
+                        host["train/images_per_sec"] = images_seen / (
+                            time.time() - t_start
+                        )
+                        host["epoch"] = epoch
+                        self.logger.log(host, step)
+                        print(
+                            f"epoch {epoch} step {step} "
+                            f"loss {host.get('train/loss', host.get('train/total_loss', float('nan'))):.4f} "
+                            f"({host['train/images_per_sec']:.0f} img/s)"
+                        )
+                    if profile and step == 20:
+                        jax.profiler.stop_trace()
+                        profile = False
+                    if mid_val_at and (i + 1) == mid_val_at:
+                        last_val = self.validate()
+                        self.logger.log(last_val, step)
+
+                if (epoch + 1) % check_every == 0:
+                    last_val = self.validate()
+                    step = (epoch + 1) * self.steps_per_epoch
+                    last_val["epoch_time_sec"] = time.time() - epoch_t0
+                    self.logger.log(last_val, step)
+                    print(
+                        f"epoch {epoch} val/loss "
+                        f"{last_val.get('val/loss', float('nan')):.4f} "
+                        f"psnr {last_val.get('val/psnr', float('nan')):.2f}"
+                    )
+                    self.ckpt.save_step(self.state, last_val)
+                    if self.early_stopping and self.early_stopping.update(last_val):
+                        print(f"Early stopping at epoch {epoch}")
+                        break
+        finally:
+            self.ckpt.wait()
+            self.logger.close()
+
+        final = self.ckpt.save_final(
+            self.state, self.cfg.get("experiment_name", "run")
+        )
+        print(f"Final checkpoint: {final}")
+        return last_val
+
+    def test(self) -> Dict[str, float]:
+        self.datamodule.setup("test")
+        return self.validate("test")
