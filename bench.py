@@ -80,9 +80,11 @@ def main() -> None:
     }
     batch = shard_batch(mesh, batch_host)
 
-    # warmup / compile
+    # warmup / compile. NB: through tunneled backends block_until_ready can be
+    # a no-op acknowledgment — fetching the VALUE is the only reliable fence,
+    # so all timing fences below use device_get.
     state, m = step(state, batch, rng)
-    jax.block_until_ready(m["train/loss"])
+    float(jax.device_get(m["train/loss"]))
 
     # timed window
     target_seconds = float(os.environ.get("BENCH_SECONDS", 8.0))
@@ -92,11 +94,12 @@ def main() -> None:
         state, m = step(state, batch, rng)
         steps += 1
         if steps % 10 == 0:
-            jax.block_until_ready(m["train/loss"])
+            float(jax.device_get(m["train/loss"]))
             if time.perf_counter() - t0 > target_seconds:
                 break
-    jax.block_until_ready(m["train/loss"])
+    last_loss = float(jax.device_get(m["train/loss"]))
     elapsed = time.perf_counter() - t0
+    assert last_loss == last_loss, "NaN loss in benchmark"
 
     images_per_sec = steps * batch_size / elapsed
     per_chip = images_per_sec / n_chips

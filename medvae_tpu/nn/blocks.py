@@ -159,15 +159,9 @@ class AttnBlock(nn.Module):
         else:
             out = None
         if out is None:
-            scale = jnp.asarray(c, jnp.float32) ** -0.5
-            w_ = jnp.einsum(
-                "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
-            ) * scale
-            w_ = jax.nn.softmax(w_, axis=2)
-            out = jnp.einsum(
-                "bij,bjc->bic", w_.astype(v.dtype), v,
-                preferred_element_type=jnp.float32,
-            )
+            from medvae_tpu.ops.attention import reference_attention
+
+            out = reference_attention(q, k, v)
 
         out = out.reshape(b, hh, ww, c).astype(x.dtype)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
