@@ -46,15 +46,34 @@ def _fused_gn_swish(x, scale, bias, num_groups: int, eps: float):
     n = h * w
     cg = c // num_groups
     x2 = x.reshape(b, n, c)
+    # Group statistics via matmuls with a channel→group membership matrix:
+    # Mosaic can't shape-cast (n, c) → (n, G, c/G) when c/G is sub-lane-sized,
+    # but (1,c)·(c,G) and (1,G)·(G,c) dots map cleanly onto the MXU.
+    import numpy as np
 
-    def kernel(x_ref, s_ref, b_ref, o_ref):
+    member = np.zeros((c, num_groups), np.float32)
+    member[np.arange(c), np.arange(c) // cg] = 1.0
+    member = jnp.asarray(member)
+
+    def kernel(x_ref, s_ref, b_ref, m_ref, o_ref):
         xb = x_ref[0].astype(jnp.float32)  # (n, c)
-        xg = xb.reshape(n, num_groups, cg)
-        mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-        var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-        xn = (xg - mean) * jax.lax.rsqrt(var + eps)
-        xn = xn.reshape(n, c)
-        y = xn * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        mem = m_ref[:]  # (c, G)
+        inv_count = 1.0 / (n * cg)
+        ch_sum = jnp.sum(xb, axis=0, keepdims=True)  # (1, c)
+        ch_sq = jnp.sum(xb * xb, axis=0, keepdims=True)
+        g_mean = (
+            jnp.dot(ch_sum, mem, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * inv_count
+        )  # (1, G)
+        g_sq = jnp.dot(ch_sq, mem, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) * inv_count
+        g_var = g_sq - g_mean * g_mean
+        # broadcast group stats back to channels: (1, G) · (G, c)
+        mean_c = jnp.dot(g_mean, mem.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        rstd_c = jnp.dot(
+            jax.lax.rsqrt(g_var + eps), mem.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y = (xb - mean_c) * rstd_c
+        y = y * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
         o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
     out = pl.pallas_call(
@@ -65,9 +84,12 @@ def _fused_gn_swish(x, scale, bias, num_groups: int, eps: float):
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (c, num_groups), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-    )(x2, scale[None, :], bias[None, :])
+    )(x2, scale[None, :], bias[None, :], member)
     return out.reshape(b, h, w, c)
