@@ -125,7 +125,7 @@ class LPIPSLoss:
         self._weights_path = weights_path
 
     def init(self, rng: jax.Array, image_hw: int = 64) -> Dict:
-        dummy = jnp.zeros((1, image_hw, image_hw, 3))
+        dummy = jnp.zeros((1, max(image_hw, self.MIN_SIZE), max(image_hw, self.MIN_SIZE), 3))
         params = self.module.init(rng, dummy, dummy)
         if self._weights_path:
             params = self.load_npz(params, self._weights_path)
@@ -143,10 +143,21 @@ class LPIPSLoss:
                     flat[k] = jnp.asarray(z[k]).reshape(flat[k].shape)
         return flax.traverse_util.unflatten_dict(flat, sep="/")
 
+    # AlexNet's stride/pool chain produces empty tensors below ~64 px (the
+    # torch original has the same constraint — the reference's 28×28 quick
+    # configs could never have run its LPIPS path). Small inputs are
+    # bilinearly upsampled to this floor first.
+    MIN_SIZE = 64
+
     def __call__(self, params: Dict, inputs: jax.Array, recons: jax.Array) -> jax.Array:
         params = jax.lax.stop_gradient(params)
         a = _to_rgb(inputs) * 2.0 - 1.0
         b = _to_rgb(recons) * 2.0 - 1.0
+        if a.shape[1] < self.MIN_SIZE or a.shape[2] < self.MIN_SIZE:
+            n, _, _, c = a.shape
+            shape = (n, self.MIN_SIZE, self.MIN_SIZE, c)
+            a = jax.image.resize(a, shape, method="linear")
+            b = jax.image.resize(b, shape, method="linear")
         return jnp.mean(self.module.apply(params, a, b))
 
 

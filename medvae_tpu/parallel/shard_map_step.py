@@ -41,6 +41,7 @@ def build_shard_map_train_step(
     augment: bool = False,
     normalize: bool = True,
     max_channels: int = 3,
+    donate: bool = True,
 ):
     """Returns step(state, batch, rng) -> (state, metrics); batch axis must be
     divisible by the mesh's data-axis size."""
@@ -126,4 +127,4 @@ def build_shard_map_train_step(
         out_specs=(state_spec, state_spec),
         check_rep=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

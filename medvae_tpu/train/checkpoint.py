@@ -55,6 +55,8 @@ class CheckpointManager:
 
     def _save(self, state, name: str):
         path = self._path(name)
+        # async saves to the same name must drain before the overwrite
+        self._ckptr.wait_until_finished()
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, state)

@@ -126,6 +126,20 @@ class Trainer:
                 jnp.zeros((2, self.datamodule.size, self.datamodule.size, 3)),
                 train=False,
             )
+            logit_shape = jax.eval_shape(
+                lambda v: disc.apply(
+                    v,
+                    jnp.zeros((1, self.datamodule.size, self.datamodule.size, 3)),
+                    train=False,
+                ),
+                disc_vars,
+            ).shape
+            if any(s <= 0 for s in logit_shape):
+                raise ValueError(
+                    f"Discriminator emits an empty logit map {logit_shape} at "
+                    f"image size {self.datamodule.size}; reduce n_layers or "
+                    f"increase the image size"
+                )
             disc_tx = discriminator_optimizer(
                 dict(tcfg.get("optimizer", {})),
                 dict(tcfg.get("scheduler", {}) or {}),

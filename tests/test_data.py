@@ -1,0 +1,144 @@
+"""Data pipeline tests: channel policy, label standardization, fixed-shape
+batches, mask semantics, feeder behavior (reference contracts from
+src/data/medmnist_data.py — see test_modality_channels.py in the reference)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from medvae_tpu.core.mesh import MeshSpec, create_mesh
+from medvae_tpu.data.medmnist import (
+    CHANNELS_BY_MODALITY_INDEX,
+    DATASET_CHANNELS,
+    MODALITY_NAMES,
+    MedMNISTDataModule,
+    MedMNISTSource,
+    modality_index,
+    _standardize_labels,
+)
+from medvae_tpu.data.pipeline import DeviceFeeder, normalize_and_augment
+
+
+def test_modality_map_order():
+    # the 12-name order is part of the conditioning contract
+    assert MODALITY_NAMES[0] == "chestmnist"
+    assert MODALITY_NAMES[2] == "octmnist"
+    assert MODALITY_NAMES[11] == "organsmnist"
+    assert modality_index("dermamnist") == 4
+
+
+def test_channel_policy():
+    # grayscale: X-rays and CT; RGB: microscopy/pathology (reference :154-181)
+    for name in ["chestmnist", "pneumoniamnist", "organamnist"]:
+        assert DATASET_CHANNELS[name] == 1
+    for name in ["pathmnist", "dermamnist", "octmnist", "bloodmnist"]:
+        assert DATASET_CHANNELS[name] == 3
+
+
+def test_source_shapes_and_padding():
+    src = MedMNISTSource("chestmnist", split="val", size=28, root="/nonexistent",
+                         max_channels=3)
+    a = src.arrays
+    assert a.images.shape[1:] == (28, 28, 3)
+    assert a.images.dtype == np.uint8
+    assert a.channels == 1
+    # padded channels must be exactly zero
+    assert a.images[..., 1:].max() == 0
+    assert (a.modality_idx == 0).all()
+
+    rgb = MedMNISTSource("pathmnist", split="val", size=28, root="/nonexistent",
+                         max_channels=3)
+    assert rgb.arrays.images[..., 1:].max() > 0
+
+
+def test_label_standardization():
+    # multi-label -> argmax; all-zero -> 0; column vector -> squeeze
+    multi = np.array([[0, 1, 0], [0, 0, 0], [1, 0, 1]])
+    np.testing.assert_array_equal(_standardize_labels(multi), [1, 0, 0])
+    col = np.array([[3], [5]])
+    np.testing.assert_array_equal(_standardize_labels(col), [3, 5])
+
+
+def test_datamodule_concat_and_channels():
+    dm = MedMNISTDataModule(
+        ["chestmnist", "pathmnist"], batch_size=16, size=28, root="/nonexistent"
+    )
+    dm.setup(None)
+    tr = dm.train_arrays
+    assert dm.max_channels == 3
+    assert tr.images.shape[1:] == (28, 28, 3)
+    assert set(np.unique(tr.modality_idx)) == {0, 1}
+    assert len(tr) == 2 * 2048  # synthetic split sizes
+
+
+def test_feeder_shapes_and_masks():
+    dm = MedMNISTDataModule(["chestmnist"], batch_size=100, size=28,
+                            root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    feeder = DeviceFeeder(dm.val_arrays, 100, mesh, shuffle=False, drop_last=False)
+    batches = list(feeder.epoch(0))
+    # 256 samples / 100 -> 3 batches, last one padded with 44 invalid
+    assert len(batches) == 3
+    last = batches[-1]
+    # single-modality module keeps the natural channel count (no padding)
+    assert last["image_u8"].shape == (100, 28, 28, 1)
+    assert float(jnp.sum(last["valid"])) == 56
+    assert batches[0]["modality_onehot"].shape == (100, 12)
+    np.testing.assert_array_equal(
+        np.asarray(batches[0]["channels"]), np.ones(100)
+    )
+
+
+def test_feeder_shuffles_between_epochs():
+    dm = MedMNISTDataModule(["chestmnist"], batch_size=32, size=28,
+                            root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    feeder = DeviceFeeder(dm.train_arrays, 32, mesh, shuffle=True, drop_last=True)
+    b0 = np.asarray(next(iter(feeder.epoch(0)))["label"])
+    b1 = np.asarray(next(iter(feeder.epoch(1)))["label"])
+    assert not np.array_equal(b0, b1)
+
+
+def test_normalize_and_augment():
+    u8 = jnp.asarray(np.random.RandomState(0).randint(0, 255, (4, 28, 28, 3)),
+                     jnp.uint8)
+    x = normalize_and_augment(u8, None, normalize=True, augment=False)
+    assert float(x.min()) >= -1.0 and float(x.max()) <= 1.0
+    x2 = normalize_and_augment(u8, None, normalize=False, augment=False)
+    assert float(x2.min()) >= 0.0 and float(x2.max()) <= 1.0
+    # augmentation is random but shape/range-preserving and traceable
+    xa = jax.jit(
+        lambda u, k: normalize_and_augment(u, k, normalize=True, augment=True)
+    )(u8, jax.random.PRNGKey(0))
+    assert xa.shape == x.shape
+    assert np.isfinite(np.asarray(xa)).all()
+
+
+def test_synthetic_determinism():
+    a = MedMNISTSource("pathmnist", split="train", size=28, root="/nonexistent")
+    b = MedMNISTSource("pathmnist", split="train", size=28, root="/nonexistent")
+    np.testing.assert_array_equal(a.arrays.images, b.arrays.images)
+
+
+def test_npz_loading(tmp_path):
+    # write a fake MedMNIST-format npz and check the loader path
+    rs = np.random.RandomState(0)
+    np.savez(
+        tmp_path / "chestmnist.npz",
+        train_images=rs.randint(0, 255, (32, 28, 28), np.uint8),
+        train_labels=rs.randint(0, 2, (32, 14)),
+        val_images=rs.randint(0, 255, (8, 28, 28), np.uint8),
+        val_labels=rs.randint(0, 2, (8, 14)),
+        test_images=rs.randint(0, 255, (8, 28, 28), np.uint8),
+        test_labels=rs.randint(0, 2, (8, 14)),
+    )
+    src = MedMNISTSource("chestmnist", split="train", size=28, root=str(tmp_path))
+    assert not src.synthetic
+    assert src.arrays.images.shape == (32, 28, 28, 3)  # padded to max_channels
+    assert src.arrays.labels.shape == (32,)
+    with pytest.raises(FileNotFoundError):
+        MedMNISTSource("pathmnist", split="train", size=28, root=str(tmp_path),
+                       synthetic_fallback=False)
