@@ -1,3 +1,10 @@
+from medvae_tpu.analysis.disentanglement import (
+    compute_beta_vae_metric,
+    compute_classification_metrics,
+    compute_disentanglement_metrics,
+    compute_mig,
+)
+from medvae_tpu.analysis.fid import fid_score, fid_score_reference_quirk
 from medvae_tpu.analysis.latent import (
     centroid_distance_matrix,
     latent_interpolation,
@@ -12,4 +19,10 @@ __all__ = [
     "pairwise_distances",
     "pca",
     "silhouette_score",
+    "fid_score",
+    "fid_score_reference_quirk",
+    "compute_mig",
+    "compute_beta_vae_metric",
+    "compute_disentanglement_metrics",
+    "compute_classification_metrics",
 ]

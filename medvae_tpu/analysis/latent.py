@@ -22,7 +22,10 @@ def pairwise_distances(x: jax.Array) -> jax.Array:
     x = x.astype(jnp.float32)
     sq = jnp.sum(jnp.square(x), axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
-    return jnp.sqrt(jnp.maximum(d2, 0.0))
+    d2 = jnp.maximum(d2, 0.0)
+    # fp32 cancellation leaves ~1e-3 junk on the diagonal; it is exactly 0
+    d2 = d2 * (1.0 - jnp.eye(x.shape[0], dtype=jnp.float32))
+    return jnp.sqrt(d2)
 
 
 def centroid_distance_matrix(
