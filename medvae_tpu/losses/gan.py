@@ -68,11 +68,16 @@ class LPIPSWithDiscriminator:
     discriminator_iter_start: int = 50001
     use_biomedclip_loss: bool = False
     biomedclip_factor: float = 1.0
+    clip_encoder: str = "simple"  # "simple" (CNN fallback) or "vit" (ViT-B/32)
 
     def __post_init__(self):
         self.perceptual_loss = LPIPSLoss()
         self.biomed_clip_loss = (
-            BiomedCLIPLoss(compute_rec_loss=True, compute_lat_loss=False)
+            BiomedCLIPLoss(
+                compute_rec_loss=True,
+                compute_lat_loss=False,
+                encoder=self.clip_encoder,
+            )
             if self.use_biomedclip_loss
             else None
         )

@@ -194,14 +194,32 @@ class BiomedCLIPLoss:
     """
 
     def __init__(
-        self, compute_rec_loss: bool = True, compute_lat_loss: bool = False
+        self,
+        compute_rec_loss: bool = True,
+        compute_lat_loss: bool = False,
+        encoder: str = "simple",
+        weights_path: Optional[str] = None,
     ):
         self.compute_rec_loss = compute_rec_loss
         self.compute_lat_loss = compute_lat_loss
-        self.module = SimpleCLIPEncoder()
+        if encoder == "vit":
+            # ViT-B/32 image tower (the reference's primary open_clip path)
+            from medvae_tpu.losses.clip_vit import CLIPViT
+
+            self.module = CLIPViT()
+        elif encoder == "simple":
+            self.module = SimpleCLIPEncoder()
+        else:
+            raise ValueError(f"Unknown clip encoder: {encoder}")
+        self._weights_path = weights_path
 
     def init(self, rng: jax.Array) -> Dict:
-        return self.module.init(rng, jnp.zeros((1, 224, 224, 3)))
+        params = self.module.init(rng, jnp.zeros((1, 224, 224, 3)))
+        if self._weights_path:
+            from medvae_tpu.losses.clip_vit import load_npz
+
+            params = load_npz(params, self._weights_path)
+        return params
 
     def _preprocess(self, img: jax.Array) -> jax.Array:
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)

@@ -151,7 +151,11 @@ def make_criterion(loss_cfg: Dict[str, Any], model) -> Callable:
         return criterion
 
     if loss_type == "biomedclip":
-        bc = BiomedCLIPLoss(compute_rec_loss=True, compute_lat_loss=False)
+        bc = BiomedCLIPLoss(
+            compute_rec_loss=True,
+            compute_lat_loss=False,
+            encoder=loss_cfg.get("clip_encoder", "simple"),
+        )
 
         def criterion(frozen, outputs, targets):
             loss = bc(frozen["clip"], targets, rec=outputs["reconstruction"])
@@ -170,6 +174,7 @@ def make_gan_loss(loss_cfg: Dict[str, Any]) -> LPIPSWithDiscriminator:
         discriminator_iter_start=int(loss_cfg.get("discriminator_iter_start", 50001)),
         use_biomedclip_loss=bool(loss_cfg.get("use_biomedclip_loss", False)),
         biomedclip_factor=float(loss_cfg.get("biomedclip_factor", 1.0)),
+        clip_encoder=str(loss_cfg.get("clip_encoder", "simple")),
     )
 
 

@@ -160,7 +160,9 @@ class Trainer:
             }
         elif str(self.loss_cfg.get("type")) == "biomedclip":
             frozen = {
-                "clip": BiomedCLIPLoss().init(jax.random.fold_in(self.seed_key, 11))
+                "clip": BiomedCLIPLoss(
+                    encoder=self.loss_cfg.get("clip_encoder", "simple")
+                ).init(jax.random.fold_in(self.seed_key, 11))
             }
 
         self.state = create_train_state(
