@@ -27,7 +27,12 @@ def swish(x: jax.Array) -> jax.Array:
 
 
 def group_norm(num_channels: int, *, name: Optional[str] = None) -> nn.GroupNorm:
-    """GroupNorm(min(32, C), eps=1e-6, affine) — reference Normalize (:28)."""
+    """GroupNorm(min(32, C), eps=1e-6, affine) — reference Normalize (:28).
+
+    Statistics compute in fp32 (flax upcasts); callers should cast the result
+    back to the activation dtype (see `norm_act`) so the tensor between norm
+    and the next conv stays bf16 — halving HBM traffic on the widest tensors.
+    """
     return nn.GroupNorm(
         num_groups=min(32, num_channels),
         epsilon=1e-6,
@@ -36,6 +41,11 @@ def group_norm(num_channels: int, *, name: Optional[str] = None) -> nn.GroupNorm
         name=name,
         dtype=jnp.float32,  # normalization statistics in fp32 for stability
     )
+
+
+def norm_swish(x: jax.Array, num_channels: int, name: str) -> jax.Array:
+    """GroupNorm (fp32 stats) → cast back to activation dtype → SiLU."""
+    return swish(group_norm(num_channels, name=name)(x).astype(x.dtype))
 
 
 class GroupNormSwish(nn.Module):
@@ -103,7 +113,7 @@ class ResnetBlock(nn.Module):
     ) -> jax.Array:
         out_ch = self.out_channels or self.in_channels
 
-        h = swish(group_norm(self.in_channels, name="norm1")(x))
+        h = norm_swish(x, self.in_channels, "norm1")
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
@@ -111,7 +121,7 @@ class ResnetBlock(nn.Module):
                 :, None, None, :
             ]
 
-        h = swish(group_norm(out_ch, name="norm2")(h))
+        h = norm_swish(h, out_ch, "norm2")
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 
@@ -143,7 +153,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, hh, ww, c = x.shape
-        h_ = group_norm(self.in_channels, name="norm")(x)
+        h_ = group_norm(self.in_channels, name="norm")(x).astype(x.dtype)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h_)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h_)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h_)

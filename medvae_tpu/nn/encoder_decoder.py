@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from medvae_tpu.nn.blocks import Downsample, ResnetBlock, Upsample, group_norm, make_attn, swish
+from medvae_tpu.nn.blocks import Downsample, ResnetBlock, Upsample, make_attn, norm_swish
 
 
 class Encoder(nn.Module):
@@ -105,7 +105,7 @@ class Encoder(nn.Module):
         )(h, deterministic=deterministic)
 
         # end
-        h = swish(group_norm(block_in, name="norm_out")(h))
+        h = norm_swish(h, block_in, "norm_out")
         out_channels = 2 * self.z_channels if self.double_z else self.z_channels
         h = nn.Conv(
             out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
@@ -197,7 +197,7 @@ class Decoder(nn.Module):
         if self.give_pre_end:
             return h
 
-        h = swish(group_norm(block_in, name="norm_out")(h))
+        h = norm_swish(h, block_in, "norm_out")
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         if self.tanh_out:
             h = jnp.tanh(h)
