@@ -26,6 +26,14 @@ class TrainState(struct.PyTreeNode):
     disc_params: Optional[Any] = None
     disc_batch_stats: Optional[Any] = None
     disc_opt_state: Optional[Any] = None
+    # host-driven LR multiplier (ReduceLROnPlateau support): scaling the final
+    # Adam/AdamW update is exactly scaling the learning rate
+    lr_scale: jax.Array = struct.field(
+        default_factory=lambda: jnp.ones((), jnp.float32)
+    )
+    # optional EMA of params (reference exposes an unused EMA helper; here it
+    # is a first-class opt-in via training.ema_decay)
+    ema_params: Optional[Any] = None
 
 
 def create_train_state(
@@ -34,6 +42,7 @@ def create_train_state(
     frozen: Any = None,
     disc_variables: Optional[Any] = None,
     disc_tx: Optional[optax.GradientTransformation] = None,
+    ema_decay: float = 0.0,
 ) -> TrainState:
     disc_params = disc_batch_stats = disc_opt_state = None
     if disc_variables is not None:
@@ -49,6 +58,8 @@ def create_train_state(
         disc_params=disc_params,
         disc_batch_stats=disc_batch_stats,
         disc_opt_state=disc_opt_state,
+        lr_scale=jnp.ones((), jnp.float32),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None,
     )
 
 

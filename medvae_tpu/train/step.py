@@ -209,6 +209,7 @@ def build_train_step(
     disc=None,
     disc_tx: Optional[optax.GradientTransformation] = None,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted train step. Returns step(state, batch, rng) -> (state, metrics)."""
     forward = make_forward_fn(model)
@@ -244,11 +245,23 @@ def build_train_step(
             state.params
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # host-driven plateau LR: scaling the final update == scaling the LR
+        updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay and new_ema is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                new_ema,
+                new_params,
+            )
         metrics = {f"train/{k}": v for k, v in loss_dict.items()}
         metrics["train/grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            ema_params=new_ema,
         )
         return new_state, metrics
 

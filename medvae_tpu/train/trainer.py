@@ -165,10 +165,24 @@ class Trainer:
                 ).init(jax.random.fold_in(self.seed_key, 11))
             }
 
+        self.ema_decay = float(tcfg.get("ema_decay", 0.0) or 0.0)
         self.state = create_train_state(
-            params, self.tx, frozen=frozen, disc_variables=disc_vars, disc_tx=disc_tx
+            params, self.tx, frozen=frozen, disc_variables=disc_vars,
+            disc_tx=disc_tx, ema_decay=self.ema_decay,
         )
         self.state = replicate(self.mesh, self.state)
+
+        # ReduceLROnPlateau (reference training_utils.py:49-55): host-driven
+        # lr_scale update on monitored-metric stagnation
+        sched_cfg = dict(tcfg.get("scheduler", {}) or {})
+        self._plateau = None
+        if str(sched_cfg.get("type", "")).lower() == "plateau":
+            self._plateau = {
+                "factor": float(sched_cfg.get("factor", 0.1)),
+                "patience": int(sched_cfg.get("patience", 10)),
+                "best": None,
+                "count": 0,
+            }
 
         self.train_step = build_train_step(
             self.model,
@@ -180,6 +194,7 @@ class Trainer:
             max_channels=self.datamodule.max_channels,
             disc=disc,
             disc_tx=disc_tx,
+            ema_decay=self.ema_decay,
         )
         self.eval_step = build_eval_step(
             self.model,
@@ -320,6 +335,7 @@ class Trainer:
                         f"psnr {last_val.get('val/psnr', float('nan')):.2f}"
                     )
                     self.ckpt.save_step(self.state, last_val)
+                    self._maybe_reduce_lr(last_val)
                     if self.early_stopping and self.early_stopping.update(last_val):
                         print(f"Early stopping at epoch {epoch}")
                         break
@@ -332,6 +348,26 @@ class Trainer:
         )
         print(f"Final checkpoint: {final}")
         return last_val
+
+    def _maybe_reduce_lr(self, val_metrics: Dict[str, float]) -> None:
+        if self._plateau is None:
+            return
+        value = val_metrics.get("val/loss")
+        if value is None:
+            return
+        p = self._plateau
+        if p["best"] is None or value < p["best"] - 1e-8:
+            p["best"] = value
+            p["count"] = 0
+            return
+        p["count"] += 1
+        if p["count"] >= p["patience"]:
+            p["count"] = 0
+            import jax.numpy as jnp
+
+            new_scale = self.state.lr_scale * p["factor"]
+            self.state = self.state.replace(lr_scale=new_scale)
+            print(f"ReduceLROnPlateau: lr_scale -> {float(new_scale):.2e}")
 
     def test(self) -> Dict[str, float]:
         self.datamodule.setup("test")
