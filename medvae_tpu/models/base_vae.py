@@ -34,6 +34,7 @@ class BaseVAE(nn.Module):
     double_z: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False  # checkpoint resblocks (needed at 224² batch ≥64)
 
     @property
     def encoder_out_res(self) -> int:
@@ -56,6 +57,7 @@ class BaseVAE(nn.Module):
             attn_type=self.attn_type,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
         )
         self.decoder = Decoder(
             ch=self.hidden_channels,
@@ -72,6 +74,7 @@ class BaseVAE(nn.Module):
             attn_type=self.attn_type,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
         )
 
     # --- API parity with the reference ------------------------------------

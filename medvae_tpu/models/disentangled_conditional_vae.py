@@ -97,6 +97,7 @@ class DisentangledConditionalVAE(BaseVAE):
             attn_type=self.attn_type,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
         )
         self.decoder = Decoder(
             ch=self.hidden_channels,
@@ -113,6 +114,7 @@ class DisentangledConditionalVAE(BaseVAE):
             attn_type=self.attn_type,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
         )
 
         # Per-modality 1×1 projector params, only for modalities whose natural

@@ -108,7 +108,6 @@ class ResnetBlock(nn.Module):
         self,
         x: jax.Array,
         temb: Optional[jax.Array] = None,
-        *,
         deterministic: bool = True,
     ) -> jax.Array:
         out_ch = self.out_channels or self.in_channels

@@ -18,8 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_MAX_TOKENS = 1024
-_MAX_CHANNELS = 1024
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16MB scoped limit
 
 
 def _on_tpu() -> bool:
@@ -29,12 +28,18 @@ def _on_tpu() -> bool:
         return False
 
 
+def _vmem_estimate(n: int, c: int) -> int:
+    """Backward-pass working set (the larger of fwd/bwd): seven (n, c) fp32
+    tensors (q/k/v/g/dq/dk/dv) + three (n, n) fp32 (logits, p, dp)."""
+    return (7 * n * c + 3 * n * n) * 4
+
+
 def fused_attention_or_none(q: jax.Array, k: jax.Array, v: jax.Array):
     """(b, n, c) q/k/v → (b, n, c) attention output, or None if out of envelope."""
-    b, n, c = q.shape
+    _, n, c = q.shape
     if not _on_tpu():
         return None
-    if n > _MAX_TOKENS or c > _MAX_CHANNELS:
+    if _vmem_estimate(n, c) > _VMEM_BUDGET:
         return None
     return fused_attention(q, k, v)
 
