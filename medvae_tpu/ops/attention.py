@@ -34,10 +34,21 @@ def _vmem_estimate(n: int, c: int) -> int:
     return (7 * n * c + 3 * n * n) * 4
 
 
+# Below this per-element workload XLA's batched einsum wins: a (b,) grid of
+# tiny blocks serializes on grid overhead while XLA tiles the whole batch onto
+# the MXU in one batched matmul (measured: 49-token/16-ch attention is ~7%
+# FASTER via XLA). The kernel's value is avoiding the (n,n) HBM round-trip,
+# which only matters once n is large.
+_MIN_TOKENS = 128
+_MIN_CHANNELS = 64
+
+
 def fused_attention_or_none(q: jax.Array, k: jax.Array, v: jax.Array):
     """(b, n, c) q/k/v → (b, n, c) attention output, or None if out of envelope."""
     _, n, c = q.shape
     if not _on_tpu():
+        return None
+    if n < _MIN_TOKENS or c < _MIN_CHANNELS:
         return None
     if _vmem_estimate(n, c) > _VMEM_BUDGET:
         return None
