@@ -43,8 +43,14 @@ from flax import linen as nn
 from medvae_tpu.models.base_vae import BaseVAE
 
 # Reference channel map (disentangled_conditional_vae.py:112-122):
-# chest=1, path=3, oct=3, pneumonia=1, derm=3.
-MODALITY_CHANNEL_MAP: Dict[int, int] = {0: 1, 1: 3, 2: 3, 3: 1, 4: 3}
+# chest=1, path=3, oct=3, pneumonia=1, derm=3. Beyond the reference's fixed 5
+# modalities, the map extends with the datasets' natural channel policy
+# (data/medmnist.py) so all-12 joint training routes channels correctly
+# (blood/tissue/retina/breast RGB, the three organ CT views grayscale).
+MODALITY_CHANNEL_MAP: Dict[int, int] = {
+    0: 1, 1: 3, 2: 3, 3: 1, 4: 3,  # reference's 5
+    5: 3, 6: 3, 7: 3, 8: 3, 9: 1, 10: 1, 11: 1,
+}
 
 
 def _channel_map(num_modalities: int) -> Tuple[int, ...]:
