@@ -249,6 +249,27 @@ class Trainer:
         if cfg.get("debug", {}).get("nan_checks"):
             jax.config.update("jax_debug_nans", True)
 
+        # resume: restore train state (params, optimizer, step, disc, EMA)
+        # from a checkpoint — `resume=true` picks up this experiment's `last`,
+        # `resume_from=<path>` restores an explicit checkpoint directory.
+        resume_from = cfg.get("resume_from")
+        if cfg.get("resume") and not resume_from:
+            resume_from = "last"
+        if resume_from:
+            target = (
+                resume_from
+                if os.path.isabs(str(resume_from))
+                else os.path.join(ckpt_dir, str(resume_from))
+            )
+            if os.path.isdir(target):
+                host_state = jax.device_get(self.state)
+                self.state = replicate(
+                    self.mesh, self.ckpt.restore(host_state, target)
+                )
+                print(f"Resumed from {target} at step {int(self.state.step)}")
+            else:
+                print(f"resume requested but no checkpoint at {target}; fresh start")
+
     # ------------------------------------------------------------------ #
 
     def _feeder(self, split: str, shuffle: bool, drop_last: bool) -> DeviceFeeder:

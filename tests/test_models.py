@@ -267,3 +267,19 @@ class TestDisentangled:
         assert out.shape == (5, 28, 28, 3)
         rec = np.asarray(out)
         assert np.abs(rec[0, :, :, 1:]).max() == 0.0  # grayscale modality padded
+
+
+def test_linear_attention_variant():
+    """use_linear_attn swaps vanilla attention for the O(n) variant
+    (reference encoder_decoder.py:36-65) — full forward must run and differ
+    in parameter structure."""
+    model = BaseVAE(
+        input_channels=1, latent_dim=8, hidden_channels=16, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(8,), resolution=16,
+        use_linear_attn=True,
+    )
+    x = jnp.ones((2, 16, 16, 1)) * 0.2
+    variables, out = _init_and_run(model, x)
+    assert out["reconstruction"].shape == (2, 16, 16, 1)
+    flat = str(jax.tree_util.tree_structure(variables["params"]))
+    assert "to_qkv" in flat  # linear-attention params present
