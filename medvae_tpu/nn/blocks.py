@@ -43,39 +43,47 @@ def group_norm(num_channels: int, *, name: Optional[str] = None) -> nn.GroupNorm
     )
 
 
-def norm_swish(x: jax.Array, num_channels: int, name: str) -> jax.Array:
-    """GroupNorm (fp32 stats) → cast back to activation dtype → SiLU."""
+def norm_swish(
+    x: jax.Array, num_channels: int, name: str, use_pallas: bool = False
+) -> jax.Array:
+    """GroupNorm (fp32 stats) → cast back to activation dtype → SiLU.
+
+    With `use_pallas` AND MEDVAE_FUSED_GN=1 the whole norm+affine+swish runs
+    as one fused Pallas kernel (fwd + custom-VJP bwd, ops/groupnorm_swish.py).
+    Default is XLA's own fusion, which measured FASTER for every shape this
+    model family produces (see ops/groupnorm_swish.py). Param structure
+    ({scale, bias} under `name`) is identical either way, so checkpoints are
+    interchangeable."""
+    import os
+
+    if use_pallas and os.environ.get("MEDVAE_FUSED_GN") == "1":
+        return GroupNormSwish(num_channels, name=name)(x)
     return swish(group_norm(num_channels, name=name)(x).astype(x.dtype))
 
 
 class GroupNormSwish(nn.Module):
-    """GroupNorm followed by SiLU; routes through the fused Pallas kernel when
-    `use_pallas` and the tensor fits VMEM, else XLA (which fuses these fine on
-    its own for small shapes)."""
+    """Fused GroupNorm+SiLU with the same param layout as nn.GroupNorm."""
 
     num_channels: int
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.use_pallas:
-            from medvae_tpu.ops.groupnorm_swish import fused_group_norm_swish_or_none
+        from medvae_tpu.ops.groupnorm_swish import fused_group_norm_swish_or_none
 
-            scale = self.param(
-                "scale", nn.initializers.ones, (self.num_channels,), jnp.float32
-            )
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.num_channels,), jnp.float32
-            )
-            out = fused_group_norm_swish_or_none(
-                x, scale, bias, num_groups=min(32, self.num_channels), eps=1e-6
-            )
-            if out is not None:
-                return out
-            # jnp fallback sharing the same params
-            return swish(_group_norm_ref(x, scale, bias, min(32, self.num_channels)))
-        gn = group_norm(self.num_channels, name="norm")
-        return swish(gn(x))
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.num_channels,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_channels,), jnp.float32
+        )
+        groups = min(32, self.num_channels)
+        out = fused_group_norm_swish_or_none(
+            x, scale, bias, num_groups=groups, eps=1e-6
+        )
+        if out is not None:
+            return out
+        # jnp fallback sharing the same params
+        return swish(_group_norm_ref(x, scale, bias, groups)).astype(x.dtype)
 
 
 def _group_norm_ref(
@@ -102,6 +110,7 @@ class ResnetBlock(nn.Module):
     conv_shortcut: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -112,7 +121,7 @@ class ResnetBlock(nn.Module):
     ) -> jax.Array:
         out_ch = self.out_channels or self.in_channels
 
-        h = norm_swish(x, self.in_channels, "norm1")
+        h = norm_swish(x, self.in_channels, "norm1", self.use_pallas)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
         if temb is not None:
@@ -120,7 +129,7 @@ class ResnetBlock(nn.Module):
                 :, None, None, :
             ]
 
-        h = norm_swish(h, out_ch, "norm2")
+        h = norm_swish(h, out_ch, "norm2", self.use_pallas)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
 

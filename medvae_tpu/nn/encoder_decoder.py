@@ -73,6 +73,7 @@ class Encoder(nn.Module):
                     out_channels=block_out,
                     dropout=self.dropout,
                     dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h, None, deterministic)
                 block_in = block_out
@@ -99,6 +100,7 @@ class Encoder(nn.Module):
             out_channels=block_in,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="mid_block_1",
         )(h, None, deterministic)
         h = make_attn(
@@ -113,11 +115,12 @@ class Encoder(nn.Module):
             out_channels=block_in,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="mid_block_2",
         )(h, None, deterministic)
 
         # end
-        h = norm_swish(h, block_in, "norm_out")
+        h = norm_swish(h, block_in, "norm_out", self.use_pallas)
         out_channels = 2 * self.z_channels if self.double_z else self.z_channels
         h = nn.Conv(
             out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
@@ -162,6 +165,7 @@ class Decoder(nn.Module):
             out_channels=block_in,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="mid_block_1",
         )(h, None, deterministic)
         h = make_attn(
@@ -176,6 +180,7 @@ class Decoder(nn.Module):
             out_channels=block_in,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="mid_block_2",
         )(h, None, deterministic)
 
@@ -188,6 +193,7 @@ class Decoder(nn.Module):
                     out_channels=block_out,
                     dropout=self.dropout,
                     dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h, None, deterministic)
                 block_in = block_out
@@ -211,7 +217,7 @@ class Decoder(nn.Module):
         if self.give_pre_end:
             return h
 
-        h = norm_swish(h, block_in, "norm_out")
+        h = norm_swish(h, block_in, "norm_out", self.use_pallas)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         if self.tanh_out:
             h = jnp.tanh(h)

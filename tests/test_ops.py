@@ -19,11 +19,12 @@ from medvae_tpu.ops import groupnorm_swish as gn_mod
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
-    """Run pallas kernels in interpreter mode and open the backend gate."""
+    """Run pallas kernels in interpreter mode and open the backend gates."""
     from jax.experimental.pallas import tpu as pltpu
 
     monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
     monkeypatch.setattr(gn_mod, "_on_tpu", lambda: True)
+    monkeypatch.setenv("MEDVAE_FUSED_GN", "1")
     with pltpu.force_tpu_interpret_mode():
         yield
 
@@ -84,3 +85,23 @@ def test_envelope_gates():
         )
         is None
     )
+
+
+def test_fused_gn_swish_gradients_match_reference():
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 4, 4, 32), jnp.float32)
+    scale = jnp.asarray(rs.rand(32) + 0.5, jnp.float32)
+    bias = jnp.asarray(rs.randn(32) * 0.1, jnp.float32)
+
+    def loss_k(x, s, b):
+        return jnp.sum(
+            jnp.tanh(gn_mod.fused_group_norm_swish(x, s, b, 16, 1e-6))
+        )
+
+    def loss_r(x, s, b):
+        return jnp.sum(jnp.tanh(swish(_group_norm_ref(x, s, b, 16))))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
