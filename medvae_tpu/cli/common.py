@@ -5,7 +5,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 import yaml
 

@@ -34,7 +34,7 @@ losses are exact vectorized forms of the reference's unique/masked logic.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Out-of-envelope shapes or non-TPU backends take the jnp path.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

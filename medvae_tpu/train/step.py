@@ -26,8 +26,7 @@ Reference quirks intentionally not replicated (documented in SURVEY §7):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -387,8 +387,6 @@ class Trainer:
         p["count"] += 1
         if p["count"] >= p["patience"]:
             p["count"] = 0
-            import jax.numpy as jnp
-
             new_scale = self.state.lr_scale * p["factor"]
             self.state = self.state.replace(lr_scale=new_scale)
             print(f"ReduceLROnPlateau: lr_scale -> {float(new_scale):.2e}")

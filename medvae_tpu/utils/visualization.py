@@ -9,7 +9,7 @@ plus PNG grid saving used by generate.py. Images arrive as NHWC arrays in
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
