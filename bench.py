@@ -26,7 +26,59 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 10_000.0  # BASELINE.json north-star target
 
 
+def generation_bench() -> None:
+    """BENCH_MODE=generate: conditional sampling throughput (samples/sec)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from medvae_tpu.models import DisentangledConditionalVAE
+
+    model = DisentangledConditionalVAE(
+        num_modalities=5, shared_latent_dim=8, modality_latent_dim=8,
+        hidden_channels=32, ch_mult=(1, 2, 4), num_res_blocks=1,
+        attn_resolutions=(), resolution=28, dtype=jnp.bfloat16, use_pallas=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    n = int(os.environ.get("BENCH_BATCH", 4096))
+    midx = jnp.asarray(np.arange(n) % 5, jnp.int32)
+    variables = jax.jit(model.init)(
+        {"params": rng, "sample": rng}, jnp.zeros((2, 28, 28, 3), jnp.bfloat16),
+        jnp.zeros((2,), jnp.int32),
+    )
+
+    sample = jax.jit(
+        lambda v, m, k: model.apply(v, n, m, k, method=model.sample_conditional)
+    )
+    out = sample(variables, midx, rng)
+    float(jax.device_get(out[0, 0, 0, 0]))
+    steps = 0
+    t0 = time.perf_counter()
+    while True:
+        out = sample(variables, midx, jax.random.fold_in(rng, steps))
+        steps += 1
+        if steps % 10 == 0:
+            float(jax.device_get(out[0, 0, 0, 0]))
+            if time.perf_counter() - t0 > float(os.environ.get("BENCH_SECONDS", 8.0)):
+                break
+    float(jax.device_get(out[0, 0, 0, 0]))
+    rate = steps * n / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "cvae_generation_samples_per_sec_per_chip",
+                "value": round(rate, 1),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(rate / BASELINE_IMAGES_PER_SEC, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("BENCH_MODE") == "generate":
+        generation_bench()
+        return
     from medvae_tpu.core.mesh import create_mesh, replicate, shard_batch
     from medvae_tpu.models import ConditionalVAE
     from medvae_tpu.train.optim import build_optimizer

@@ -109,14 +109,27 @@ def _standardize_labels(labels: np.ndarray) -> np.ndarray:
 
 
 def _resize_nearest(images: np.ndarray, size: int) -> np.ndarray:
-    """Host-side nearest-neighbour resize for uint8 stacks (rare path: the
-    packaged npz already matches `size` for standard sizes)."""
+    """Host-side resize for uint8 stacks (rare path: the packaged npz already
+    matches `size` for the standard 28/64/128/224 sizes). Bilinear via PIL to
+    match torchvision Resize; nearest-neighbour fallback without PIL."""
     n, h, w, c = images.shape
     if h == size and w == size:
         return images
-    ys = (np.arange(size) * h // size).clip(0, h - 1)
-    xs = (np.arange(size) * w // size).clip(0, w - 1)
-    return images[:, ys][:, :, xs]
+    try:
+        from PIL import Image
+
+        out = np.empty((n, size, size, c), np.uint8)
+        for i in range(n):
+            img = images[i, ..., 0] if c == 1 else images[i]
+            resized = np.asarray(
+                Image.fromarray(img).resize((size, size), Image.BILINEAR)
+            )
+            out[i] = resized[..., None] if c == 1 else resized
+        return out
+    except ImportError:
+        ys = (np.arange(size) * h // size).clip(0, h - 1)
+        xs = (np.arange(size) * w // size).clip(0, w - 1)
+        return images[:, ys][:, :, xs]
 
 
 def _synthetic_split(

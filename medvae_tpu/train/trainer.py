@@ -187,18 +187,38 @@ class Trainer:
                 "count": 0,
             }
 
-        self.train_step = build_train_step(
-            self.model,
-            self.loss_cfg,
-            self.tx,
-            self.mesh,
-            augment=bool(self.datamodule.augment_train),
-            normalize=bool(self.datamodule.normalize),
-            max_channels=self.datamodule.max_channels,
-            disc=disc,
-            disc_tx=disc_tx,
-            ema_decay=self.ema_decay,
+        # `parallel.explicit_shard_map: true` switches the train step to the
+        # explicit shard_map/psum formulation (parallel/shard_map_step.py);
+        # default lets XLA insert the collectives from NamedShardings. The two
+        # are numerically equivalent (tested on the 8-device CPU mesh).
+        explicit_sm = bool(
+            (cfg.get("parallel") or {}).get("explicit_shard_map", False)
         )
+        if explicit_sm and not use_gan:
+            from medvae_tpu.parallel import build_shard_map_train_step
+
+            self.train_step = build_shard_map_train_step(
+                self.model,
+                self.loss_cfg,
+                self.tx,
+                self.mesh,
+                augment=bool(self.datamodule.augment_train),
+                normalize=bool(self.datamodule.normalize),
+                max_channels=self.datamodule.max_channels,
+            )
+        else:
+            self.train_step = build_train_step(
+                self.model,
+                self.loss_cfg,
+                self.tx,
+                self.mesh,
+                augment=bool(self.datamodule.augment_train),
+                normalize=bool(self.datamodule.normalize),
+                max_channels=self.datamodule.max_channels,
+                disc=disc,
+                disc_tx=disc_tx,
+                ema_decay=self.ema_decay,
+            )
         self.eval_step = build_eval_step(
             self.model,
             self.loss_cfg,
@@ -370,6 +390,7 @@ class Trainer:
         final = self.ckpt.save_final(
             self.state, self.cfg.get("experiment_name", "run")
         )
+        self.ckpt.wait()  # drain the async write before interpreter teardown
         print(f"Final checkpoint: {final}")
         return last_val
 
