@@ -244,3 +244,30 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+
+def test_ema_tracking():
+    """training.ema_decay maintains a lagged copy of params in the state."""
+    model = BaseVAE(input_channels=1, **TINY)
+    tx = build_optimizer({"type": "adam", "lr": 1e-2}, None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, jnp.zeros((2, 8, 8, 1)))
+    state = replicate(
+        mesh, create_train_state(variables["params"], tx, ema_decay=0.9)
+    )
+    assert state.ema_params is not None
+    step = build_train_step(
+        model, {"type": "vae"}, tx, mesh, augment=False, max_channels=1,
+        ema_decay=0.9, donate=False,
+    )
+    batch = shard_batch(mesh, _batch(n=8, c=1))
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    d_param = float(jnp.max(jnp.abs(p - p0)))
+    d_ema = float(jnp.max(jnp.abs(e - p0)))
+    assert d_param > 0 and d_ema > 0
+    assert d_ema < d_param  # EMA lags the raw params
