@@ -361,7 +361,7 @@ class Trainer:
                             f"loss {host.get('train/loss', host.get('train/total_loss', float('nan'))):.4f} "
                             f"({host['train/images_per_sec']:.0f} img/s)"
                         )
-                    if profile and step == 20:
+                    if profile and step >= min(20, self.steps_per_epoch):
                         jax.profiler.stop_trace()
                         profile = False
                     if mid_val_at and (i + 1) == mid_val_at:
@@ -384,6 +384,8 @@ class Trainer:
                         print(f"Early stopping at epoch {epoch}")
                         break
         finally:
+            if profile:  # trace still open (run shorter than the stop point)
+                jax.profiler.stop_trace()
             self.ckpt.wait()
             self.logger.close()
 
