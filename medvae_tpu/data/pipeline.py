@@ -46,12 +46,14 @@ class DeviceFeeder:
         shuffle: bool = True,
         drop_last: bool = True,
         seed: int = 0,
+        prefetch: int = 2,
     ):
         self.arrays = arrays
         self.batch_size = batch_size
         self.mesh = mesh
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.prefetch = max(1, prefetch)
         self._rng = np.random.RandomState(seed)
         n = len(arrays)
         if drop_last:
@@ -87,7 +89,9 @@ class DeviceFeeder:
             self._rng.shuffle(order)
 
         bs = self.batch_size
-        pending = None
+        from collections import deque
+
+        pending: deque = deque()
         for step in range(self.steps_per_epoch):
             lo = step * bs
             hi = min(lo + bs, n)
@@ -98,12 +102,13 @@ class DeviceFeeder:
                 pad = order[: bs - len(idx)]
                 valid = np.concatenate([valid, np.zeros(len(pad), bool)])
                 idx = np.concatenate([idx, pad])
-            batch = self._put(self._gather(idx, valid))
-            if pending is not None:
-                yield pending
-            pending = batch
-        if pending is not None:
-            yield pending
+            # device_put dispatches asynchronously: keep `prefetch` batches in
+            # flight so host gather + transfer overlap device compute
+            pending.append(self._put(self._gather(idx, valid)))
+            if len(pending) > self.prefetch:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
 
 
 def normalize_and_augment(

@@ -347,6 +347,10 @@ class Trainer:
                     self.state, metrics = self.train_step(self.state, batch, self.rng)
                     images_seen += self.datamodule.batch_size
                     step = epoch * self.steps_per_epoch + i + 1
+                    if step == 1:
+                        # exclude the first step's compile time from throughput
+                        t_start = time.time()
+                        images_seen = 0
                     if step % log_every == 0:
                         host = {
                             k: float(jax.device_get(v)) for k, v in metrics.items()

@@ -283,3 +283,18 @@ def test_linear_attention_variant():
     assert out["reconstruction"].shape == (2, 16, 16, 1)
     flat = str(jax.tree_util.tree_structure(variables["params"]))
     assert "to_qkv" in flat  # linear-attention params present
+
+
+def test_film_layer():
+    """FiLM modulation: features scaled/shifted per-channel from the condition
+    (reference FiLMLayer, conditional_vae.py:191-203)."""
+    from medvae_tpu.models import FiLMLayer
+
+    layer = FiLMLayer(condition_dim=4, feature_dim=8)
+    feats = jnp.ones((2, 5, 5, 8))
+    cond = jax.nn.one_hot(jnp.array([0, 2]), 4)
+    variables = layer.init(jax.random.PRNGKey(0), feats, cond)
+    out = layer.apply(variables, feats, cond)
+    assert out.shape == feats.shape
+    # different conditions must modulate differently
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
