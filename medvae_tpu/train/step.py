@@ -209,8 +209,12 @@ def build_train_step(
     disc_tx: Optional[optax.GradientTransformation] = None,
     donate: bool = True,
     ema_decay: float = 0.0,
+    state_sharding=None,
 ):
-    """Build the jitted train step. Returns step(state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step. Returns step(state, batch, rng) -> (state, metrics).
+
+    `state_sharding`: optional sharding pytree for the train state (tensor
+    parallelism over the `model` axis) — defaults to fully replicated."""
     forward = make_forward_fn(model)
     loss_type = str(loss_cfg.get("type", "vae"))
     use_gan = loss_type == "lpips_discriminator"
@@ -386,7 +390,7 @@ def build_train_step(
     jitted = jax.jit(
         fn,
         donate_argnums=(0,) if donate else (),
-        out_shardings=(repl, repl),
+        out_shardings=(state_sharding if state_sharding is not None else repl, repl),
     )
     return jitted
 

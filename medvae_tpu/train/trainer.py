@@ -173,7 +173,16 @@ class Trainer:
             params, self.tx, frozen=frozen, disc_variables=disc_vars,
             disc_tx=disc_tx, ema_decay=self.ema_decay,
         )
-        self.state = replicate(self.mesh, self.state)
+        # mesh.model > 1 turns on tensor parallelism: conv kernels shard their
+        # output channels over the model axis; XLA SPMD inserts the collectives
+        self._state_sharding = None
+        if self.mesh.shape.get("model", 1) > 1:
+            from medvae_tpu.parallel import shard_state, state_shardings
+
+            self._state_sharding = state_shardings(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh)
+        else:
+            self.state = replicate(self.mesh, self.state)
 
         # ReduceLROnPlateau (reference training_utils.py:49-55): host-driven
         # lr_scale update on monitored-metric stagnation
@@ -218,6 +227,7 @@ class Trainer:
                 disc=disc,
                 disc_tx=disc_tx,
                 ema_decay=self.ema_decay,
+                state_sharding=self._state_sharding,
             )
         self.eval_step = build_eval_step(
             self.model,
