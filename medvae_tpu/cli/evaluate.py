@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     p.add_argument("--max_batches", type=int, default=0, help="0 = full split")
     p.add_argument("--split", default="test")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fid", action="store_true",
+                   help="FID between real and reconstructed feature distributions")
+    p.add_argument("--mig", action="store_true",
+                   help="MIG / beta-VAE probe of latents vs modality factor")
     args = p.parse_args(argv)
 
     model, params, cfg = load_model_and_params(args.model_path, args.config)
@@ -70,6 +74,17 @@ def main(argv=None) -> int:
         m.update(latent_metrics(out["z"], batch["valid"]))
         return m, x, out["reconstruction"], out["mean"]
 
+    # optional frozen feature extractor for FID (SimpleCLIPEncoder features)
+    feat_fn = feat_params = None
+    real_feats: List[np.ndarray] = []
+    fake_feats: List[np.ndarray] = []
+    if args.fid:
+        from medvae_tpu.losses.perceptual import BiomedCLIPLoss
+
+        bc = BiomedCLIPLoss()
+        feat_params = bc.init(jax.random.fold_in(rng, 1234))
+        feat_fn = jax.jit(lambda p, img: bc._encode(p, img))
+
     feeder = DeviceFeeder(
         datamodule.split(args.split), datamodule.batch_size, mesh,
         shuffle=False, drop_last=False, seed=args.seed,
@@ -87,6 +102,14 @@ def main(argv=None) -> int:
         if len(latents) * datamodule.batch_size < 2000:
             latents.append(np.asarray(jax.device_get(mean)).reshape(mean.shape[0], -1))
             latent_labels.append(np.asarray(jax.device_get(batch["modality_idx"])))
+        if feat_fn is not None and len(real_feats) * datamodule.batch_size < 4000:
+            valid = np.asarray(jax.device_get(batch["valid"])) > 0
+            real_feats.append(
+                np.asarray(jax.device_get(feat_fn(feat_params, x)))[valid]
+            )
+            fake_feats.append(
+                np.asarray(jax.device_get(feat_fn(feat_params, rec)))[valid]
+            )
         if args.max_batches and i + 1 >= args.max_batches:
             break
 
@@ -100,6 +123,21 @@ def main(argv=None) -> int:
             "min": float(a.min()),
             "max": float(a.max()),
         }
+    if args.fid and real_feats:
+        from medvae_tpu.analysis import fid_score
+
+        summary["fid_recon"] = {
+            "value": fid_score(np.concatenate(real_feats), np.concatenate(fake_feats))
+        }
+    if args.mig and latents:
+        from medvae_tpu.analysis import compute_disentanglement_metrics
+
+        dm = compute_disentanglement_metrics(
+            np.concatenate(latents), np.concatenate(latent_labels)[:, None]
+        )
+        summary["mig"] = {"value": dm["mig"]}
+        summary["beta_vae_metric"] = {"value": dm["beta_vae_metric"]}
+
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
