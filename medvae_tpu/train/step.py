@@ -86,6 +86,24 @@ def make_forward_fn(model) -> Callable:
     return forward
 
 
+def make_decode_fn(model) -> Callable:
+    """decode(params, z, batch) -> reconstruction (modality-routed when the
+    model requires it)."""
+    if isinstance(model, DisentangledConditionalVAE):
+
+        def decode(params, z, batch):
+            return model.apply(
+                {"params": params}, z, batch["modality_idx"], method=model.decode
+            )
+
+    else:
+
+        def decode(params, z, batch):
+            return model.apply({"params": params}, z, method=model.decode)
+
+    return decode
+
+
 def preprocess(
     batch: Dict[str, jax.Array],
     rng: Optional[jax.Array],
@@ -291,7 +309,13 @@ def build_train_step(
             return outputs, kl_per_sample
 
         # adaptive weight: ∇ w.r.t. the decoder's conv_out kernel of the
-        # perceptual loss vs the adversarial loss (reference vae_losses.py:370-382)
+        # perceptual loss vs the adversarial loss (reference vae_losses.py:370-382).
+        # Only the decode-from-z path depends on that kernel, so the closures
+        # re-run the DECODER alone on a stop_gradient'ed latent — the same
+        # gradient as re-running the full model, at half the extra cost.
+        decode_fn = make_decode_fn(model)
+        outputs0, _ = run_model(state.params)
+        z0 = jax.lax.stop_gradient(outputs0["z"])
         last_path = ("decoder", "conv_out", "kernel")
 
         def _with_last(params, kernel):
@@ -305,15 +329,13 @@ def build_train_step(
             return out
 
         def p_of_kernel(kernel):
-            outs, _ = run_model(_with_last(state.params, kernel))
-            return gan_loss.perceptual_loss(
-                state.frozen["lpips"], x, outs["reconstruction"]
-            )
+            recon = decode_fn(_with_last(state.params, kernel), z0, batch)
+            return gan_loss.perceptual_loss(state.frozen["lpips"], x, recon)
 
         def g_of_kernel(kernel):
-            outs, _ = run_model(_with_last(state.params, kernel))
+            recon = decode_fn(_with_last(state.params, kernel), z0, batch)
             logits = disc.apply(
-                disc_vars, discriminator_input(outs["reconstruction"]), train=False
+                disc_vars, discriminator_input(recon), train=False
             )
             return -jnp.mean(logits.astype(jnp.float32))
 
