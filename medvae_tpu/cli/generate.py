@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--modality", default=None, help="e.g. chestmnist / chest_xray")
     p.add_argument("--output_dir", default="generated")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_seeds", type=int, default=1,
+                   help="grids for N consecutive seeds (reference quick_generate)")
     p.add_argument("--per_modality", action="store_true",
                    help="one grid per modality (disentangled/conditional models)")
     args = p.parse_args(argv)
@@ -67,17 +69,34 @@ def main(argv=None) -> int:
             cond = jnp.tile(cond[None], (n, 1))
         else:
             cond = jnp.zeros((n, model.cond_dim))
-        imgs = decode_batchless(
-            model.apply(variables, n, cond, rng, method=model.conditional_sample)
-        )
-        save_image_grid(imgs, os.path.join(args.output_dir, "samples_grid.png"))
-        for i in range(min(n, 16)):
-            save_image(imgs[i], os.path.join(args.output_dir, f"sample_{i:03d}.png"))
+        for s in range(args.num_seeds):
+            key = jax.random.fold_in(rng, s)
+            suffix = f"_seed{args.seed + s}" if args.num_seeds > 1 else ""
+            imgs = decode_batchless(
+                model.apply(variables, n, cond, key, method=model.conditional_sample)
+            )
+            save_image_grid(
+                imgs, os.path.join(args.output_dir, f"samples_grid{suffix}.png")
+            )
+            if s == 0:
+                for i in range(min(n, 16)):
+                    save_image(
+                        imgs[i], os.path.join(args.output_dir, f"sample_{i:03d}.png")
+                    )
     else:
-        imgs = decode_batchless(model.apply(variables, n, rng, method=model.sample))
-        save_image_grid(imgs, os.path.join(args.output_dir, "samples_grid.png"))
-        for i in range(min(n, 16)):
-            save_image(imgs[i], os.path.join(args.output_dir, f"sample_{i:03d}.png"))
+        # multi-seed grids mirror the reference quick_generate.py (4 seeds × 16)
+        for s in range(args.num_seeds):
+            key = jax.random.fold_in(rng, s)
+            suffix = f"_seed{args.seed + s}" if args.num_seeds > 1 else ""
+            imgs = decode_batchless(model.apply(variables, n, key, method=model.sample))
+            save_image_grid(
+                imgs, os.path.join(args.output_dir, f"samples_grid{suffix}.png")
+            )
+            if s == 0:
+                for i in range(min(n, 16)):
+                    save_image(
+                        imgs[i], os.path.join(args.output_dir, f"sample_{i:03d}.png")
+                    )
 
     print(f"Saved samples to {args.output_dir}")
     return 0

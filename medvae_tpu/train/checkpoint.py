@@ -74,7 +74,9 @@ class CheckpointManager:
             if len(self._best) < self.save_top_k or better(
                 metric, self._best[-1]["metric"]
             ):
-                name = f"step_{step:08d}"
+                # loss-stamped names (the reference embeds val loss in
+                # checkpoint filenames, e.g. `...loss=0.036.ckpt`)
+                name = f"step_{step:08d}_loss={metric:.4f}"
                 self._save(state, name)
                 self._best.append(
                     {"step": step, "metric": metric, "path": self._path(name)}
