@@ -1,0 +1,84 @@
+"""CLI regression tests: generate / evaluate / analyze against a tiny trained
+checkpoint, exercising checkpoint restore, config auto-discovery, plotting and
+artifact outputs in-process (no subprocess)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from medvae_tpu.config import compose
+from medvae_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    """Train the disentangled flagship for a few steps and return its ckpt dir."""
+    work = tmp_path_factory.mktemp("cli_run")
+    cfg = compose(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "configs"),
+        overrides=[
+            "experiment=disentangled_multi_modal_cvae_quick",
+            f"work_dir={work}",
+            "device=cpu",
+            "training.max_epochs=1",
+            "+training.limit_train_batches=2",
+            "early_stopping.enabled=false",
+            "data.batch_size=32",
+            "model.hidden_channels=8",
+            "model.ch_mult=[1,2]",
+        ],
+    )
+    trainer = Trainer(cfg)
+    trainer.fit()
+    return os.path.join(
+        str(work), "logs", "checkpoints", "disentangled_multi_modal_cvae_quick"
+    )
+
+
+def test_generate_cli(tiny_run, tmp_path):
+    from medvae_tpu.cli import generate
+
+    out = tmp_path / "gen"
+    rc = generate.main([
+        "--model_path", os.path.join(tiny_run, "last"),
+        "--num_samples", "4", "--output_dir", str(out), "--per_modality",
+        "--modality", "pathmnist",
+    ])
+    assert rc == 0
+    assert (out / "samples_pathmnist.png").exists()
+
+
+def test_evaluate_cli(tiny_run, tmp_path):
+    from medvae_tpu.cli import evaluate
+
+    out = tmp_path / "eval"
+    rc = evaluate.main([
+        "--model_path", os.path.join(tiny_run, "last"),
+        "--output_dir", str(out), "--max_batches", "1", "--split", "val",
+    ])
+    assert rc == 0
+    with open(out / "metrics.json") as f:
+        metrics = json.load(f)
+    assert "psnr" in metrics and np.isfinite(metrics["psnr"]["mean"])
+    assert (out / "reconstructions.png").exists()
+    assert (out / "prior_samples.png").exists()
+
+
+def test_analyze_cli_generated(tiny_run, tmp_path):
+    from medvae_tpu.cli import analyze
+
+    out = tmp_path / "analysis"
+    rc = analyze.main([
+        "--model_path", os.path.join(tiny_run, "last"),
+        "--output_dir", str(out), "--generated",
+        "--samples_per_modality", "20",
+    ])
+    assert rc == 0
+    with open(out / "results.json") as f:
+        results = json.load(f)
+    assert np.isfinite(results["mean_centroid_distance"])
+    assert (out / "latent_analysis.png").exists()
+    assert (out / "latent_analysis.npz").exists()
