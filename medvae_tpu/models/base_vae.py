@@ -20,6 +20,18 @@ from flax import linen as nn
 from medvae_tpu.nn.encoder_decoder import Decoder, Encoder
 
 
+def _codec_classes(remat):
+    """Encoder/Decoder classes with the requested remat granularity: "full"
+    wraps the whole module (saves only its input for the backward pass)."""
+    if remat == "full":
+        # __call__(self=0, x/z=1, deterministic=2)
+        return (
+            nn.remat(Encoder, static_argnums=(2,)),
+            nn.remat(Decoder, static_argnums=(2,)),
+        )
+    return Encoder, Decoder
+
+
 class BaseVAE(nn.Module):
     input_channels: int = 1
     latent_dim: int = 128
@@ -34,14 +46,18 @@ class BaseVAE(nn.Module):
     double_z: bool = True
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
-    remat: bool = False  # checkpoint resblocks (needed at 224² batch ≥64)
+    # activation checkpointing: False | True/"block" (per-resblock) | "full"
+    # (whole encoder/decoder — needed at 224² with batch ≥64, where even
+    # block-boundary activations exceed HBM)
+    remat: object = False
 
     @property
     def encoder_out_res(self) -> int:
         return self.resolution // (2 ** (len(self.ch_mult) - 1))
 
     def setup(self):
-        self.encoder = Encoder(
+        enc_cls, dec_cls = _codec_classes(self.remat)
+        self.encoder = enc_cls(
             ch=self.hidden_channels,
             out_ch=self.input_channels,
             ch_mult=tuple(self.ch_mult),
@@ -59,7 +75,7 @@ class BaseVAE(nn.Module):
             use_pallas=self.use_pallas,
             remat=self.remat,
         )
-        self.decoder = Decoder(
+        self.decoder = dec_cls(
             ch=self.hidden_channels,
             out_ch=self.input_channels,
             ch_mult=tuple(self.ch_mult),
@@ -82,12 +98,12 @@ class BaseVAE(nn.Module):
     def encode(
         self, x: jax.Array, *, deterministic: bool = True
     ) -> Tuple[jax.Array, jax.Array]:
-        h = self.encoder(x, deterministic=deterministic)
+        h = self.encoder(x, deterministic)
         mean, logvar = jnp.split(h, 2, axis=-1)
         return mean, logvar
 
     def decode(self, z: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        return self.decoder(z, deterministic=deterministic)
+        return self.decoder(z, deterministic)
 
     def reparameterize(
         self, mean: jax.Array, logvar: jax.Array, rng: Optional[jax.Array] = None

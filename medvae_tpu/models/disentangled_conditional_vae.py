@@ -85,9 +85,10 @@ class DisentangledConditionalVAE(BaseVAE):
         # BaseVAE.setup reads self.input_channels / self.latent_dim; linen fields
         # are frozen, so build the encoder/decoder directly with the right values.
         c = self.max_channels
-        from medvae_tpu.nn.encoder_decoder import Decoder, Encoder
+        from medvae_tpu.models.base_vae import _codec_classes
 
-        self.encoder = Encoder(
+        enc_cls, dec_cls = _codec_classes(self.remat)
+        self.encoder = enc_cls(
             ch=self.hidden_channels,
             out_ch=c,
             ch_mult=tuple(self.ch_mult),
@@ -105,7 +106,7 @@ class DisentangledConditionalVAE(BaseVAE):
             use_pallas=self.use_pallas,
             remat=self.remat,
         )
-        self.decoder = Decoder(
+        self.decoder = dec_cls(
             ch=self.hidden_channels,
             out_ch=c,
             ch_mult=tuple(self.ch_mult),
@@ -235,7 +236,7 @@ class DisentangledConditionalVAE(BaseVAE):
                 + bb[:, None, None, :]
             ).astype(x.dtype)
             x = jnp.nan_to_num(x)
-        h = self.encoder(x, deterministic=deterministic)
+        h = self.encoder(x, deterministic)
         mu, logvar = jnp.split(h, 2, axis=-1)
         return jnp.nan_to_num(mu), jnp.nan_to_num(logvar)
 
@@ -248,7 +249,7 @@ class DisentangledConditionalVAE(BaseVAE):
     ) -> jax.Array:
         """Base decode, then batched modality heads + output projection
         (reference per-sample loop :248-301)."""
-        recon = self.decoder(z, deterministic=deterministic)
+        recon = self.decoder(z, deterministic)
         if modality_indices is None:
             return recon
         b, hh, ww, c = recon.shape

@@ -49,14 +49,16 @@ class Encoder(nn.Module):
     attn_type: str = "vanilla"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
-    remat: bool = False
+    # False | True/"block" (per-resblock) — "full" granularity is applied one
+    # level up (models/base_vae.py wraps the whole Encoder/Decoder in nn.remat)
+    remat: object = False
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, deterministic: bool = True
+        self, x: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         attn_type = "linear" if self.use_linear_attn else self.attn_type
-        block_cls = _resblock_cls(self.remat)
+        block_cls = _resblock_cls(self.remat is True or self.remat == "block")
         num_resolutions = len(self.ch_mult)
         in_ch_mult = (1,) + tuple(self.ch_mult)
 
@@ -145,14 +147,14 @@ class Decoder(nn.Module):
     attn_type: str = "vanilla"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
-    remat: bool = False
+    remat: object = False
 
     @nn.compact
     def __call__(
-        self, z: jax.Array, *, deterministic: bool = True
+        self, z: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         attn_type = "linear" if self.use_linear_attn else self.attn_type
-        block_cls = _resblock_cls(self.remat)
+        block_cls = _resblock_cls(self.remat is True or self.remat == "block")
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_resolutions - 1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)

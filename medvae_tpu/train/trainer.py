@@ -46,9 +46,10 @@ def build_model(model_cfg: Dict[str, Any], precision: str = "bf16", use_pallas: 
     dtype = jnp.bfloat16 if str(precision) in ("bf16", "16", "bfloat16") else jnp.float32
     extra = {"dtype": dtype, "use_pallas": bool(use_pallas)}
     cfg = dict(model_cfg)
-    # activation checkpointing by default at high resolutions (HBM headroom)
+    # activation checkpointing by default at high resolutions (HBM headroom);
+    # "full" = whole encoder/decoder (block-level still OOMs at 224² bs128)
     if "remat" not in cfg and int(cfg.get("resolution", 28)) >= 112:
-        extra["remat"] = True
+        extra["remat"] = "full"
     # tuples for hashable flax fields
     for k in ("ch_mult", "attn_resolutions"):
         if k in cfg and isinstance(cfg[k], list):
