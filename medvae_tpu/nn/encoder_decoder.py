@@ -58,7 +58,7 @@ class Encoder(nn.Module):
         self, x: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         attn_type = "linear" if self.use_linear_attn else self.attn_type
-        block_cls = _resblock_cls(self.remat is True or self.remat == "block")
+        block_cls = _resblock_cls(bool(self.remat))  # block-level also nests under "full"
         num_resolutions = len(self.ch_mult)
         in_ch_mult = (1,) + tuple(self.ch_mult)
 
@@ -154,7 +154,7 @@ class Decoder(nn.Module):
         self, z: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         attn_type = "linear" if self.use_linear_attn else self.attn_type
-        block_cls = _resblock_cls(self.remat is True or self.remat == "block")
+        block_cls = _resblock_cls(bool(self.remat))  # block-level also nests under "full"
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_resolutions - 1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)

@@ -228,11 +228,16 @@ def build_train_step(
     donate: bool = True,
     ema_decay: float = 0.0,
     state_sharding=None,
+    accumulate_grad_batches: int = 1,
 ):
     """Build the jitted train step. Returns step(state, batch, rng) -> (state, metrics).
 
     `state_sharding`: optional sharding pytree for the train state (tensor
-    parallelism over the `model` axis) — defaults to fully replicated."""
+    parallelism over the `model` axis) — defaults to fully replicated.
+    `accumulate_grad_batches` k > 1 (the Lightning knob, reference main.py:92)
+    splits the batch into k microbatches scanned sequentially with gradient
+    averaging — one optimizer update, 1/k peak activation memory (how the 224²
+    configs reach large effective batches on one chip)."""
     forward = make_forward_fn(model)
     loss_type = str(loss_cfg.get("type", "vae"))
     use_gan = loss_type == "lpips_discriminator"
@@ -257,14 +262,58 @@ def build_train_step(
             dtype=compute_dtype,
         )
 
-        def loss_fn(params):
-            outputs = forward(params, x, batch, rngs, deterministic=False)
-            loss_dict = criterion(state.frozen, outputs, x)
+        def loss_fn(params, x_mb, batch_mb, mb_rngs):
+            outputs = forward(params, x_mb, batch_mb, mb_rngs, deterministic=False)
+            loss_dict = criterion(state.frozen, outputs, x_mb)
             return loss_dict["loss"], loss_dict
 
-        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        k = accumulate_grad_batches
+        if k <= 1:
+            (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x, batch, rngs
+            )
+        else:
+            # microbatch scan: (b,) -> (k, b/k), grads averaged across chunks
+            def split(t):
+                return t.reshape(k, t.shape[0] // k, *t.shape[1:])
+
+            x_mb = split(x)
+            batch_mb = jax.tree_util.tree_map(split, batch)
+
+            def body(carry, inp):
+                grad_acc, loss_acc = carry
+                i, x_i, b_i = inp
+                mb_rngs = {
+                    name: jax.random.fold_in(key, i) for name, key in rngs.items()
+                }
+                (_, ld), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, x_i, b_i, mb_rngs
+                )
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, g)
+                loss_acc = jax.tree_util.tree_map(jnp.add, loss_acc, ld)
+                return (grad_acc, loss_acc), None
+
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            zero_l = jax.eval_shape(
+                lambda: loss_fn(
+                    state.params,
+                    x_mb[0],
+                    jax.tree_util.tree_map(lambda t: t[0], batch_mb),
+                    rngs,
+                )[1]
+            )
+            zero_l = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, jnp.float32), zero_l
+            )
+            (grads, loss_dict), _ = jax.lax.scan(
+                body,
+                (zero_g, zero_l),
+                (jnp.arange(k), x_mb, batch_mb),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+            loss_dict = jax.tree_util.tree_map(lambda v: v / k, loss_dict)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         # host-driven plateau LR: scaling the final update == scaling the LR
         updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, updates)

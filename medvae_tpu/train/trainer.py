@@ -229,6 +229,9 @@ class Trainer:
                 disc_tx=disc_tx,
                 ema_decay=self.ema_decay,
                 state_sharding=self._state_sharding,
+                accumulate_grad_batches=int(
+                    tcfg.get("accumulate_grad_batches", 1) or 1
+                ),
             )
         self.eval_step = build_eval_step(
             self.model,

