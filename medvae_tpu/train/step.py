@@ -241,6 +241,11 @@ def build_train_step(
     forward = make_forward_fn(model)
     loss_type = str(loss_cfg.get("type", "vae"))
     use_gan = loss_type == "lpips_discriminator"
+    if use_gan and accumulate_grad_batches > 1:
+        raise NotImplementedError(
+            "gradient accumulation with the GAN loss is not supported yet "
+            "(dual-optimizer microbatching); reduce the batch size instead"
+        )
     gan_loss = make_gan_loss(loss_cfg) if use_gan else None
     criterion = None if use_gan else make_criterion(loss_cfg, model)
     compute_dtype = getattr(model, "dtype", jnp.float32)
