@@ -279,6 +279,12 @@ def build_train_step(
             )
         else:
             # microbatch scan: (b,) -> (k, b/k), grads averaged across chunks
+            if x.shape[0] % k != 0:
+                raise ValueError(
+                    f"batch size {x.shape[0]} not divisible by "
+                    f"accumulate_grad_batches={k}"
+                )
+
             def split(t):
                 return t.reshape(k, t.shape[0] // k, *t.shape[1:])
 
