@@ -43,8 +43,10 @@ from medvae_tpu.utils.training_utils import EarlyStopping
 
 def build_model(model_cfg: Dict[str, Any], precision: str = "bf16", use_pallas: bool = True):
     """Instantiate a model from config with the TPU precision policy applied."""
-    dtype = jnp.bfloat16 if str(precision) in ("bf16", "16", "bfloat16") else jnp.float32
-    extra = {"dtype": dtype, "use_pallas": bool(use_pallas)}
+    from medvae_tpu.core.precision import default_policy
+
+    policy = default_policy(mixed=str(precision) in ("bf16", "16", "bfloat16"))
+    extra = {"dtype": policy.compute_dtype, "use_pallas": bool(use_pallas)}
     cfg = dict(model_cfg)
     # activation checkpointing by default at high resolutions (HBM headroom);
     # "full" = whole encoder/decoder (block-level still OOMs at 224² bs128)
