@@ -58,11 +58,14 @@ def test_evaluate_cli(tiny_run, tmp_path):
     rc = evaluate.main([
         "--model_path", os.path.join(tiny_run, "last"),
         "--output_dir", str(out), "--max_batches", "1", "--split", "val",
+        "--fid", "--mig",
     ])
     assert rc == 0
     with open(out / "metrics.json") as f:
         metrics = json.load(f)
     assert "psnr" in metrics and np.isfinite(metrics["psnr"]["mean"])
+    assert np.isfinite(metrics["fid_recon"]["value"])
+    assert np.isfinite(metrics["mig"]["value"])
     assert (out / "reconstructions.png").exists()
     assert (out / "prior_samples.png").exists()
 
