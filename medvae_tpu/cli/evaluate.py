@@ -169,7 +169,12 @@ def main(argv=None) -> int:
             method="tsne",
         )
 
-    print(json.dumps({k: v["mean"] for k, v in summary.items()}, indent=2))
+    print(
+        json.dumps(
+            {k: v.get("mean", v.get("value")) for k, v in summary.items()},
+            indent=2,
+        )
+    )
     print(f"Saved evaluation to {args.output_dir}")
     return 0
 
