@@ -140,3 +140,125 @@ def test_decoder_parity(rng):
         out_t = tdec(torch.from_numpy(np.transpose(z, (0, 3, 1, 2))))
     out_t = np.transpose(out_t.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(out_j, out_t, atol=2e-4, rtol=1e-3)
+
+
+def test_encoder_linear_attention_parity(rng):
+    """Linear-attention variant: qkv channel layout ([qkv, heads, dim] blocks)
+    and the softmax-over-keys context math must match the reference
+    (encoder_decoder.py:36-65)."""
+    torch.manual_seed(2)
+    cfg = dict(CFG)
+    tenc = TEncoder(**cfg, double_z=True, use_linear_attn=True).eval()
+    jenc = JEncoder(
+        ch=cfg["ch"], out_ch=cfg["out_ch"], ch_mult=cfg["ch_mult"],
+        num_res_blocks=cfg["num_res_blocks"],
+        attn_resolutions=tuple(cfg["attn_resolutions"]), dropout=0.0,
+        in_channels=cfg["in_channels"], resolution=cfg["resolution"],
+        z_channels=cfg["z_channels"], double_z=True, use_linear_attn=True,
+    )
+    x = rng.rand(2, 16, 16, 1).astype(np.float32) * 2 - 1
+    jparams = jenc.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    jparams = _transplant_linear(tenc, jparams)
+
+    out_j = np.asarray(jenc.apply({"params": jparams}, jnp.asarray(x)))
+    with torch.no_grad():
+        out_t = tenc(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    out_t = np.transpose(out_t.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(out_j, out_t, atol=3e-4, rtol=1e-3)
+
+
+def _transplant_linear(tmodel, jparams):
+    """Like _transplant but LinAttnBlock params nest one level deeper in flax
+    (LinAttnBlock -> LinearAttention named 'attn')."""
+    import flax
+
+    flat = dict(flax.traverse_util.flatten_dict(jparams, sep="§"))
+    for key, tensor in tmodel.state_dict().items():
+        path = list(_flax_path_from_torch_key(key))
+        value, new_leaf = _convert(tensor.detach().numpy(), path)
+        candidates = [
+            "§".join([*path[:-1], new_leaf]),
+            # linear attention nests under an extra 'attn' module
+            "§".join([path[0], "attn", *path[1:-1], new_leaf]),
+        ]
+        for jpath in candidates:
+            if jpath in flat:
+                assert flat[jpath].shape == value.shape, (key, jpath)
+                flat[jpath] = jnp.asarray(value)
+                break
+        else:
+            raise AssertionError(f"no flax param for torch key {key}")
+    return flax.traverse_util.unflatten_dict(flat, sep="§")
+
+
+def test_training_gradient_parity(rng):
+    """End-to-end TRAINING parity: with identical weights, batch, and
+    reparameterization noise, the VAE loss value and its gradients w.r.t. the
+    parameters must match the reference implementation. Identical gradients +
+    identical optimizer math ⇒ identical training dynamics (the strongest
+    feasible proxy for the 'PSNR within 0.1 dB' north star without running
+    the torch reference to convergence)."""
+    import torch.nn.functional as F
+    from torch.distributions import Normal, kl_divergence
+
+    from src.models.base_vae import BaseVAE as TBaseVAE  # oracle
+
+    from medvae_tpu.losses.elbo import VAELoss as JVAELoss
+    from medvae_tpu.models import BaseVAE as JBaseVAE
+
+    torch.manual_seed(3)
+    kw = dict(input_channels=1, latent_dim=4, hidden_channels=16,
+              ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=[8],
+              dropout=0.0, resolution=16)
+    tmodel = TBaseVAE(**kw).train()
+    jmodel = JBaseVAE(
+        input_channels=1, latent_dim=4, hidden_channels=16, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(8,), dropout=0.0, resolution=16,
+    )
+
+    x = rng.rand(4, 16, 16, 1).astype(np.float32) * 2 - 1
+    eps = rng.randn(4, 8, 8, 4).astype(np.float32)
+
+    jparams = jmodel.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(x),
+    )["params"]
+    jparams = {
+        "encoder": _transplant(tmodel.encoder, jparams["encoder"]),
+        "decoder": _transplant(tmodel.decoder, jparams["decoder"]),
+    }
+
+    # --- torch side -------------------------------------------------------
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    eps_t = torch.from_numpy(np.transpose(eps, (0, 3, 1, 2)))
+    mean_t, logvar_t = tmodel.encode(xt)
+    z_t = mean_t + eps_t * torch.exp(0.5 * logvar_t)
+    rec_t = tmodel.decode(z_t)
+    recon_loss_t = F.mse_loss(rec_t, xt)
+    kl_t = kl_divergence(
+        Normal(mean_t, torch.exp(0.5 * logvar_t)),
+        Normal(torch.zeros_like(mean_t), torch.ones_like(logvar_t)),
+    ).mean()
+    loss_t = recon_loss_t + kl_t
+    loss_t.backward()
+    g_t = tmodel.encoder.conv_in.weight.grad.detach().numpy()
+
+    # --- jax side -----------------------------------------------------------
+    crit = JVAELoss()
+
+    def loss_fn(params):
+        mean, logvar = jmodel.apply({"params": params}, jnp.asarray(x),
+                                    method=jmodel.encode)
+        z = mean + jnp.asarray(eps) * jnp.exp(0.5 * logvar)
+        rec = jmodel.apply({"params": params}, z, method=jmodel.decode)
+        d = crit({"reconstruction": rec, "mean": mean, "logvar": logvar},
+                 jnp.asarray(x))
+        return d["loss"]
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(jparams)
+
+    assert abs(float(loss_j) - float(loss_t)) < 2e-4
+    g_j = np.transpose(
+        np.asarray(grads["encoder"]["conv_in"]["kernel"]), (3, 2, 0, 1)
+    )
+    np.testing.assert_allclose(g_j, g_t, atol=5e-4, rtol=1e-2)
