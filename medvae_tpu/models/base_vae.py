@@ -96,9 +96,13 @@ class BaseVAE(nn.Module):
     # --- API parity with the reference ------------------------------------
 
     def encode(
-        self, x: jax.Array, *, deterministic: bool = True
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool = True,
+        temb: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        h = self.encoder(x, deterministic)
+        h = self.encoder(x, deterministic, temb)
         mean, logvar = jnp.split(h, 2, axis=-1)
         return mean, logvar
 

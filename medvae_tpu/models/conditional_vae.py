@@ -5,9 +5,12 @@ method: a Dense(cond_dim → C·8·8) + reshape condition map, bilinearly resize
 the input resolution and concatenated along channels (:107-127); the encoder's
 conv_in widens to 2× input channels (:72-78) — in Flax that widening is automatic
 because conv params are shaped by the traced input. The decoder stays
-unconditional (:144-145,177-179). `inject` is a stub in the reference (:80-89);
-`film` applies FiLM layers per encoder level (:91-99, FiLMLayer :191-203) — here
-film is wired end-to-end rather than left as a stub.
+unconditional (:144-145,177-179). `inject` is a stub in
+the reference (:80-89) whose scaffolding (a condition MLP, :83-85) maps exactly
+onto the temb port the ResnetBlocks already carry — here it is implemented for
+real: the embedded condition injects into every encoder ResnetBlock
+(capability-plus over the reference). `film` remains a declared-but-unapplied
+stub exactly as in the reference (:91-99, FiLMLayer :191-203 provided).
 
 Reference quirk kept: a `num_modalities` kwarg from the configs is accepted and
 ignored (swallowed by **kwargs in the reference, SURVEY §2.1).
@@ -90,6 +93,7 @@ class ConditionalVAE(BaseVAE):
                 for i in range(len(self.ch_mult))
             ]
         elif self.condition_method == "inject":
+            # reference scaffolding (:83-85); applied via the blocks' temb port
             self.condition_embedding = nn.Sequential(
                 [nn.Dense(512, dtype=self.dtype), nn.relu, nn.Dense(512, dtype=self.dtype)]
             )
@@ -120,7 +124,10 @@ class ConditionalVAE(BaseVAE):
             cmap = self.create_condition_map(condition, x.shape[1], x.shape[2])
             x_cond = jnp.concatenate([x, cmap.astype(x.dtype)], axis=-1)
             return super().encode(x_cond, deterministic=deterministic)
-        # inject/film: condition handled elsewhere (reference falls through, :129-132)
+        if self.condition_method == "inject":
+            temb = self.condition_embedding(condition.astype(self.dtype))
+            return super().encode(x, deterministic=deterministic, temb=temb)
+        # film: condition declared but not applied (reference stub, :129-132)
         return super().encode(x, deterministic=deterministic)
 
     def __call__(

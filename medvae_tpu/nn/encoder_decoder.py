@@ -55,7 +55,8 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, deterministic: bool = True
+        self, x: jax.Array, deterministic: bool = True,
+        temb: Optional[jax.Array] = None,
     ) -> jax.Array:
         attn_type = "linear" if self.use_linear_attn else self.attn_type
         block_cls = _resblock_cls(bool(self.remat))  # block-level also nests under "full"
@@ -77,7 +78,7 @@ class Encoder(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     name=f"down_{i_level}_block_{i_block}",
-                )(h, None, deterministic)
+                )(h, temb, deterministic)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
                     h = make_attn(
@@ -104,7 +105,7 @@ class Encoder(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             name="mid_block_1",
-        )(h, None, deterministic)
+        )(h, temb, deterministic)
         h = make_attn(
             block_in,
             attn_type=attn_type,
@@ -119,7 +120,7 @@ class Encoder(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             name="mid_block_2",
-        )(h, None, deterministic)
+        )(h, temb, deterministic)
 
         # end
         h = norm_swish(h, block_in, "norm_out", self.use_pallas)
@@ -151,7 +152,8 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, z: jax.Array, deterministic: bool = True
+        self, z: jax.Array, deterministic: bool = True,
+        temb: Optional[jax.Array] = None,
     ) -> jax.Array:
         attn_type = "linear" if self.use_linear_attn else self.attn_type
         block_cls = _resblock_cls(bool(self.remat))  # block-level also nests under "full"
@@ -169,7 +171,7 @@ class Decoder(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             name="mid_block_1",
-        )(h, None, deterministic)
+        )(h, temb, deterministic)
         h = make_attn(
             block_in,
             attn_type=attn_type,
@@ -184,7 +186,7 @@ class Decoder(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             name="mid_block_2",
-        )(h, None, deterministic)
+        )(h, temb, deterministic)
 
         # upsampling (reference iterates reversed(range(levels)), :434-440)
         for i_level in reversed(range(num_resolutions)):
@@ -197,7 +199,7 @@ class Decoder(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     name=f"up_{i_level}_block_{i_block}",
-                )(h, None, deterministic)
+                )(h, temb, deterministic)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
                     h = make_attn(

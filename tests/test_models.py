@@ -298,3 +298,24 @@ def test_film_layer():
     assert out.shape == feats.shape
     # different conditions must modulate differently
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_conditional_vae_inject():
+    """`inject` conditioning: the condition MLP feeds every encoder ResnetBlock
+    through the temb port — different conditions must change the encoding."""
+    model = ConditionalVAE(
+        input_channels=1, condition_method="inject", **QUICK
+    )
+    x = jnp.ones((2, 28, 28, 1)) * 0.3
+    cond_a = jax.nn.one_hot(jnp.array([0, 0]), 12)
+    cond_b = jax.nn.one_hot(jnp.array([5, 5]), 12)
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, cond_a)
+    out_a = model.apply(variables, x, cond_a, rngs={"sample": jax.random.PRNGKey(2)})
+    out_b = model.apply(variables, x, cond_b, rngs={"sample": jax.random.PRNGKey(2)})
+    assert out_a["reconstruction"].shape == (2, 28, 28, 1)
+    assert not np.allclose(
+        np.asarray(out_a["mean"]), np.asarray(out_b["mean"]), atol=1e-5
+    )
+    # conv_in NOT widened for inject (no concat)
+    assert variables["params"]["encoder"]["conv_in"]["kernel"].shape[2] == 1
