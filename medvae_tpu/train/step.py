@@ -520,9 +520,18 @@ def build_eval_step(
         metrics.update(
             {f"val/{k}": v for k, v in latent_metrics(outputs["z"], valid).items()}
         )
-        metrics["val/_weight"] = jnp.sum(
-            valid if valid is not None else jnp.ones((x.shape[0],))
+        v = valid if valid is not None else jnp.ones((x.shape[0],))
+        metrics["val/_weight"] = jnp.sum(v)
+        # per-modality PSNR breakdown (multi-modal evaluation)
+        from medvae_tpu.train.metrics import psnr as _psnr
+
+        onehot = jax.nn.one_hot(batch["modality_idx"], 12, dtype=jnp.float32)
+        onehot = onehot * v[:, None]
+        per_sample = _psnr(
+            outputs["reconstruction"].astype(jnp.float32), x.astype(jnp.float32)
         )
+        metrics["val/_psnr_by_mod"] = jnp.sum(per_sample[:, None] * onehot, axis=0)
+        metrics["val/_count_by_mod"] = jnp.sum(onehot, axis=0)
         return metrics
 
     repl, _ = _shardings(mesh)

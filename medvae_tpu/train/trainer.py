@@ -319,16 +319,28 @@ class Trainer:
         )
 
     def validate(self, split: str = "val") -> Dict[str, float]:
+        from medvae_tpu.data.medmnist import MODALITY_NAMES
+
         feeder = self._feeder(split, shuffle=False, drop_last=False)
         acc: Dict[str, Any] = {}
         weight_total = 0.0
+        psnr_by_mod = np.zeros(12)
+        count_by_mod = np.zeros(12)
         for batch in feeder.epoch(0):
             m = self.eval_step(self.state, batch, self.rng)
             w = float(jax.device_get(m.pop("val/_weight")))
+            psnr_by_mod += np.asarray(jax.device_get(m.pop("val/_psnr_by_mod")))
+            count_by_mod += np.asarray(jax.device_get(m.pop("val/_count_by_mod")))
             weight_total += w
             for k, v in m.items():
                 acc[k] = acc.get(k, 0.0) + float(jax.device_get(v)) * w
         out = {k: v / max(weight_total, 1.0) for k, v in acc.items()}
+        # per-modality PSNR for modalities present in the split
+        for mod in range(12):
+            if count_by_mod[mod] > 0:
+                out[f"val/psnr_{MODALITY_NAMES[mod]}"] = float(
+                    psnr_by_mod[mod] / count_by_mod[mod]
+                )
         if split != "val":
             out = {k.replace("val/", f"{split}/", 1): v for k, v in out.items()}
         return out
