@@ -142,3 +142,57 @@ def test_simple_clip_encoder_shape():
     params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
     out = enc.apply(params, jnp.zeros((3, 224, 224, 3)))
     assert out.shape == (3, 512)
+
+
+def test_lpips_npz_weight_grafting(tmp_path):
+    """load_npz grafts flat 'params/...' arrays into the LPIPS tree (the format
+    scripts/export_torch_weights.py emits)."""
+    import flax
+    import numpy as np_
+
+    lp = LPIPSLoss()
+    params = lp.init(jax.random.PRNGKey(0), image_hw=64)
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    # write an npz overriding two leaves with known values
+    k1 = "params/alex/conv1/kernel"
+    k2 = "params/lin0"
+    path = str(tmp_path / "w.npz")
+    np_.savez(path, **{
+        k1: np_.ones_like(np_.asarray(flat[k1])),
+        k2: np_.full_like(np_.asarray(flat[k2]), 0.25),
+    })
+    grafted = LPIPSLoss.load_npz(params, path)
+    gflat = flax.traverse_util.flatten_dict(grafted, sep="/")
+    assert float(jnp.min(gflat[k1])) == 1.0
+    assert float(jnp.max(jnp.abs(gflat[k2] - 0.25))) == 0.0
+    # untouched leaves stay
+    other = "params/alex/conv2/kernel"
+    np_.testing.assert_array_equal(np_.asarray(gflat[other]),
+                                   np_.asarray(flat[other]))
+
+
+def test_clip_vit_npz_key_compat(tmp_path):
+    """Every key scripts/export_torch_weights.py would emit for ViT-B/32 must
+    exist in our CLIPViT param tree (format lock for the export tool)."""
+    import flax
+
+    from medvae_tpu.losses.clip_vit import CLIPViT
+
+    vit = CLIPViT()
+    params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    expected = [
+        "params/patch_embed/kernel",
+        "params/class_embedding",
+        "params/positional_embedding",
+        "params/ln_pre/scale",
+        "params/ln_post/bias",
+        "params/proj",
+        "params/block_0/ln1/scale",
+        "params/block_0/attn/qkv/kernel",
+        "params/block_0/attn/proj/bias",
+        "params/block_0/mlp_fc/kernel",
+        "params/block_11/mlp_proj/bias",
+    ]
+    for k in expected:
+        assert k in flat, k
