@@ -63,7 +63,6 @@ def silhouette_score(z: jax.Array, labels: jax.Array, num_classes: int) -> jax.A
     counts = onehot.sum(axis=0)  # (M,)
     # sum of distances from each point to each cluster: (N, M)
     sums = d @ onehot
-    same = onehot[jnp.arange(n), labels]  # always 1; own-cluster mask handling:
     own_counts = counts[labels]  # (N,)
     a = jnp.where(
         own_counts > 1,
