@@ -94,11 +94,14 @@ class LPIPSNet(nn.Module):
 
         total = jnp.zeros((a.shape[0],), jnp.float32)
         for i, (xa, xb) in enumerate(zip(fa, fb)):
-            na = xa * jax.lax.rsqrt(
-                jnp.sum(jnp.square(xa), axis=-1, keepdims=True) + 1e-10
+            # lpips.normalize_tensor: x / (sqrt(sum(x^2)) + 1e-10) — NB the eps
+            # sits OUTSIDE the sqrt (torch-oracle-tested in
+            # tests/test_perceptual_parity.py)
+            na = xa / (
+                jnp.sqrt(jnp.sum(jnp.square(xa), axis=-1, keepdims=True)) + 1e-10
             )
-            nb = xb * jax.lax.rsqrt(
-                jnp.sum(jnp.square(xb), axis=-1, keepdims=True) + 1e-10
+            nb = xb / (
+                jnp.sqrt(jnp.sum(jnp.square(xb), axis=-1, keepdims=True)) + 1e-10
             )
             diff = jnp.square(na - nb).astype(jnp.float32)
             lin = self.param(
