@@ -110,13 +110,22 @@ class BaseVAE(nn.Module):
         return self.decoder(z, deterministic)
 
     def reparameterize(
-        self, mean: jax.Array, logvar: jax.Array, rng: Optional[jax.Array] = None
+        self,
+        mean: jax.Array,
+        logvar: jax.Array,
+        rng: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """`noise`, when given, replaces the rng draw with caller-provided
+        eps — the hook that makes single-chip jit, explicit shard_map, and
+        microbatched grad-accumulation steps *bitwise comparable* (per-sample
+        noise rides the batch, sharded with it; tests/test_step_equivalence.py)."""
         std = jnp.exp(0.5 * logvar)
-        if rng is None:
-            rng = self.make_rng("sample")
-        eps = jax.random.normal(rng, std.shape, dtype=std.dtype)
-        return mean + eps * std
+        if noise is None:
+            if rng is None:
+                rng = self.make_rng("sample")
+            noise = jax.random.normal(rng, std.shape, dtype=std.dtype)
+        return mean + noise.astype(std.dtype) * std
 
     def __call__(
         self,
@@ -124,9 +133,10 @@ class BaseVAE(nn.Module):
         *,
         deterministic: bool = True,
         return_latents: bool = False,
+        noise: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         mean, logvar = self.encode(x, deterministic=deterministic)
-        z = self.reparameterize(mean, logvar)
+        z = self.reparameterize(mean, logvar, noise=noise)
         reconstruction = self.decode(z, deterministic=deterministic)
         outputs = {
             "reconstruction": reconstruction,

@@ -137,9 +137,10 @@ class ConditionalVAE(BaseVAE):
         *,
         deterministic: bool = True,
         return_latents: bool = False,
+        noise: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         mean, logvar = self.encode(x, condition, deterministic=deterministic)
-        z = self.reparameterize(mean, logvar)
+        z = self.reparameterize(mean, logvar, noise=noise)
         reconstruction = self.decode(z, deterministic=deterministic)
         outputs = {
             "reconstruction": reconstruction,

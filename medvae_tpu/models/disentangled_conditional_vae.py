@@ -359,6 +359,7 @@ class DisentangledConditionalVAE(BaseVAE):
         *,
         deterministic: bool = True,
         return_latents: bool = False,
+        noise: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         if modality_indices is None:
             modality_indices = jnp.zeros((x.shape[0],), jnp.int32)
@@ -366,7 +367,7 @@ class DisentangledConditionalVAE(BaseVAE):
         # numerical guards fused into the graph (reference :398-430)
         logvar = jnp.clip(logvar, -10.0, 10.0)
         mu = jnp.clip(mu, -10.0, 10.0)
-        z = self.reparameterize(mu, logvar)
+        z = self.reparameterize(mu, logvar, noise=noise)
         reconstruction = self.decode(z, modality_indices, deterministic=deterministic)
 
         separation_loss = self.modality_separation_loss(z, modality_indices)

@@ -111,20 +111,27 @@ def build_shard_map_train_step(
         return new_state, metrics
 
     state_spec = P()  # replicated
-    batch_spec = {
-        "image_u8": P(DATA_AXIS),
-        "label": P(DATA_AXIS),
-        "modality_onehot": P(DATA_AXIS),
-        "modality_idx": P(DATA_AXIS),
-        "channels": P(DATA_AXIS),
-        "valid": P(DATA_AXIS),
-    }
 
-    sharded = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(state_spec, batch_spec, P()),
-        out_specs=(state_spec, state_spec),
-        check_rep=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    # Batch specs are derived from the actual batch keys (every entry is
+    # batch-leading and shards over the data axis) so optional entries — e.g.
+    # the per-sample reparameterization `noise` used by the equivalence
+    # tests — ride along without a fixed schema.
+    cache: Dict[tuple, Any] = {}
+
+    def step(state: TrainState, batch, rng):
+        key = tuple(sorted(batch.keys()))
+        if key not in cache:
+            batch_spec = {k: P(DATA_AXIS) for k in key}
+            sharded = shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(state_spec, batch_spec, P()),
+                out_specs=(state_spec, state_spec),
+                check_rep=False,
+            )
+            cache[key] = jax.jit(
+                sharded, donate_argnums=(0,) if donate else ()
+            )
+        return cache[key](state, batch, rng)
+
+    return step

@@ -53,7 +53,13 @@ from medvae_tpu.train.state import TrainState
 
 
 def make_forward_fn(model) -> Callable:
-    """Returns forward(params, x, batch, rngs, deterministic) -> outputs dict."""
+    """Returns forward(params, x, batch, rngs, deterministic) -> outputs dict.
+
+    An optional `batch["noise"]` (per-sample reparameterization eps, shape
+    (B, enc_res, enc_res, latent)) overrides the in-graph rng draw. Because it
+    rides the batch it shards with it, which makes jit / shard_map /
+    grad-accum formulations use identical per-sample noise — the basis of the
+    numerical-equivalence tests (tests/test_step_equivalence.py)."""
     if isinstance(model, DisentangledConditionalVAE):
 
         def forward(params, x, batch, rngs, deterministic=True):
@@ -63,6 +69,7 @@ def make_forward_fn(model) -> Callable:
                 batch["modality_idx"],
                 deterministic=deterministic,
                 rngs=rngs,
+                noise=batch.get("noise"),
             )
 
     elif isinstance(model, ConditionalVAE):
@@ -74,13 +81,18 @@ def make_forward_fn(model) -> Callable:
                 batch["modality_onehot"],
                 deterministic=deterministic,
                 rngs=rngs,
+                noise=batch.get("noise"),
             )
 
     else:
 
         def forward(params, x, batch, rngs, deterministic=True):
             return model.apply(
-                {"params": params}, x, deterministic=deterministic, rngs=rngs
+                {"params": params},
+                x,
+                deterministic=deterministic,
+                rngs=rngs,
+                noise=batch.get("noise"),
             )
 
     return forward

@@ -84,7 +84,10 @@ def test_jit_and_shard_map_steps_agree():
         hidden_channels=8, ch_mult=(1, 2), num_res_blocks=1,
         attn_resolutions=(), resolution=8,
     )
-    tx = build_optimizer({"type": "adam", "lr": 1e-3}, None)
+    # SGD, not Adam: Adam's first step is lr*sign(grad), which amplifies
+    # reduction-order noise in near-zero grads into +-lr flips; with SGD,
+    # params-allclose <=> grads-allclose, which is the property under test.
+    tx = build_optimizer({"type": "sgd", "lr": 1e-2, "momentum": 0.0}, None)
     mesh = create_mesh(MeshSpec(data=n_dev, model=1), jax.devices()[:n_dev])
     midx0 = jnp.zeros((2,), jnp.int32)
     state0 = _init_state(model, (2, 8, 8, 3), tx, midx0)
@@ -100,6 +103,16 @@ def test_jit_and_shard_map_steps_agree():
         model, loss_cfg, tx, mesh, augment=False, max_channels=3, donate=False
     )
 
+    # identical per-sample reparameterization noise on both paths: eps rides
+    # the batch (sharded over the data axis with it), so the two formulations
+    # compute the SAME function — any disagreement is a collective/sharding bug
+    rs = np.random.RandomState(7)
+    enc_res = model.encoder_out_res
+    zdim = model.shared_latent_dim + model.modality_latent_dim
+    batch_host["noise"] = rs.randn(
+        batch_host["image_u8"].shape[0], enc_res, enc_res, zdim
+    ).astype(np.float32)
+
     s_jit = replicate(mesh, state0)
     s_sm = replicate(mesh, state0)
     batch = shard_batch(mesh, batch_host)
@@ -107,24 +120,27 @@ def test_jit_and_shard_map_steps_agree():
     s_jit, m_jit = jit_step(s_jit, batch, rng)
     s_sm, m_sm = sm_step(s_sm, batch, rng)
 
-    # Loss values differ only through RNG folding (shard_map folds in the
-    # axis index). Compare the *data path*: run both with deterministic
-    # zero-noise by comparing recon_loss magnitudes rather than exact equality.
     l_jit = float(m_jit["train/loss"])
     l_sm = float(m_sm["train/loss"])
     assert np.isfinite(l_jit) and np.isfinite(l_sm)
-    # parameters should move a comparable amount under both steps
-    d_jit = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b))), s_jit.params, state0.params
+    np.testing.assert_allclose(l_jit, l_sm, rtol=1e-5, atol=1e-6)
+    # the *updated parameters* must agree elementwise — this is the real
+    # multi-chip-correctness contract (incl. the all_gather'ed batch-global
+    # separation/contrastive losses)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_jit.params),
+        jax.tree_util.tree_leaves(s_sm.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # and both must have actually moved
+    moved = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_jit.params),
+            jax.tree_util.tree_leaves(state0.params),
+        )
     )
-    d_sm = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b))), s_sm.params, state0.params
-    )
-    m1 = max(jax.tree_util.tree_leaves(d_jit))
-    m2 = max(jax.tree_util.tree_leaves(d_sm))
-    assert m1 > 0 and m2 > 0
-    # Adam's first step is ±lr per param; both must agree on that scale
-    assert abs(m1 - m2) < 5e-4
+    assert moved > 1e-5
 
 
 def test_gan_train_step_runs_and_gates():
@@ -274,13 +290,22 @@ def test_ema_tracking():
 
 
 def test_gradient_accumulation_matches_full_batch():
-    """k microbatches with grad averaging must match the full-batch update
-    when the per-microbatch RNG is made identical (deterministic model)."""
+    """k microbatches with grad averaging must produce the SAME updated params
+    as the full-batch step when the per-sample noise is pinned in-batch (the
+    VAE loss is a per-sample mean, so microbatch-averaged grads are exactly the
+    full-batch grads)."""
     model = BaseVAE(input_channels=1, **TINY)  # dropout=0 in TINY
-    tx = build_optimizer({"type": "adam", "lr": 1e-3}, None)
+    # SGD so that params-allclose <=> grads-allclose (see shard_map test)
+    tx = build_optimizer({"type": "sgd", "lr": 1e-2, "momentum": 0.0}, None)
     mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
     state0 = _init_state(model, (2, 8, 8, 1), tx)
-    batch = shard_batch(mesh, _batch(n=8, c=1))
+    batch_host = _batch(n=8, c=1)
+    rs = np.random.RandomState(11)
+    enc_res = model.encoder_out_res
+    batch_host["noise"] = rs.randn(8, enc_res, enc_res, model.latent_dim).astype(
+        np.float32
+    )
+    batch = shard_batch(mesh, batch_host)
     rng = jax.random.PRNGKey(9)
 
     step_full = build_train_step(
@@ -293,24 +318,21 @@ def test_gradient_accumulation_matches_full_batch():
     )
     s_full, m_full = step_full(replicate(mesh, state0), batch, rng)
     s_acc, m_acc = step_acc(replicate(mesh, state0), batch, rng)
-    # losses can differ slightly (per-microbatch sampling noise), but both
-    # must be finite and the updates the same magnitude scale
-    assert np.isfinite(float(m_full["train/loss"]))
-    assert np.isfinite(float(m_acc["train/loss"]))
-    d_full = max(
+    np.testing.assert_allclose(
+        float(m_full["train/loss"]), float(m_acc["train/loss"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.params),
+        jax.tree_util.tree_leaves(s_acc.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    moved = max(
         float(jnp.max(jnp.abs(a - b)))
         for a, b in zip(
             jax.tree_util.tree_leaves(s_full.params),
             jax.tree_util.tree_leaves(state0.params),
         )
     )
-    d_acc = max(
-        float(jnp.max(jnp.abs(a - b)))
-        for a, b in zip(
-            jax.tree_util.tree_leaves(s_acc.params),
-            jax.tree_util.tree_leaves(state0.params),
-        )
-    )
-    assert d_full > 0 and d_acc > 0
-    assert abs(d_full - d_acc) < 5e-4  # Adam first step ~ ±lr either way
+    assert moved > 1e-5
     assert int(s_acc.step) == 1  # one optimizer update despite 4 microbatches
