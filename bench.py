@@ -1,12 +1,27 @@
 """Benchmark: CVAE training throughput (images/sec/chip) on the live device.
 
-North star (BASELINE.json): ≥10,000 images/sec/chip conditional-VAE training at
-28×28 on TPU v5e. This runs the real jitted train step (ConditionalVAE quick
-architecture, concat conditioning, MSE+KL loss, Adam) on synthetic multi-modal
-batches resident in host memory, exactly the production path: uint8 host feed,
-on-device normalization, data-sharded batch over the mesh.
+North star (BASELINE.json): >=10,000 images/sec/chip conditional-VAE training
+at 28x28 on TPU v5e.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Modes (BENCH_MODE):
+  * step (default) — the jitted train step on a device-resident synthetic
+    batch: isolates device throughput (no host feed in the timed loop).
+    Reports MFU (achieved model TFLOP/s vs chip bf16 peak) from XLA's
+    compiled-cost analysis.
+  * pipeline — the PRODUCTION path: synthetic uint8 arrays streamed through
+    DeviceFeeder (per-step host shuffle+gather+device_put, prefetch 2) into
+    the same step. Reports end-to-end images/sec plus the host-feed duty
+    cycle (fraction of wall time the host spent gathering/dispatching).
+  * generate — conditional sampling throughput (samples/sec).
+
+Configs (BENCH_CONFIG): quick (default; 28x28, the north-star config) or
+full224 (224x224 CVAE, ch_mult 1-2-4-8 + attention @16 — the config that
+actually stresses the MXU/HBM; reference configs/model/base_vae.yaml).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Timing fences use jax.device_get of a VALUE — through tunneled backends
+block_until_ready can acknowledge before execution completes.
 """
 
 from __future__ import annotations
@@ -16,7 +31,6 @@ import os
 import sys
 import time
 
-# default to the real backend; tests force cpu in their own env
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
@@ -24,14 +38,116 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 10_000.0  # BASELINE.json north-star target
+# bf16 peak per chip; v5e = 197 TFLOP/s. Override for other chips.
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+
+
+def _config():
+    """(model_kwargs, resolution, default_batch) for BENCH_CONFIG."""
+    cfg = os.environ.get("BENCH_CONFIG", "quick")
+    if cfg == "full224":
+        return (
+            dict(
+                latent_dim=128,
+                hidden_channels=128,
+                ch_mult=(1, 2, 4, 8),
+                num_res_blocks=2,
+                attn_resolutions=(16,),
+                resolution=224,
+                remat="block",
+            ),
+            224,
+            32,
+        )
+    return (
+        dict(
+            latent_dim=16,
+            hidden_channels=32,
+            ch_mult=(1, 2, 4),
+            num_res_blocks=1,
+            attn_resolutions=(),
+            resolution=28,
+        ),
+        28,
+        4096,
+    )
+
+
+def _synthetic_batch(batch_size: int, size: int) -> dict:
+    rs = np.random.RandomState(0)
+    midx = (np.arange(batch_size) % 5).astype(np.int32)
+    return {
+        "image_u8": rs.randint(0, 255, (batch_size, size, size, 3), np.uint8),
+        "label": np.zeros((batch_size,), np.int32),
+        "modality_onehot": np.eye(12, dtype=np.float32)[midx],
+        "modality_idx": midx,
+        "channels": np.asarray([1, 3, 3, 1, 3], np.int32)[midx],
+        "valid": np.ones((batch_size,), np.float32),
+    }
+
+
+def _build(mesh, batch_size: int):
+    """Model + jitted train step + initial state (the production CVAE path)."""
+    from medvae_tpu.core.mesh import replicate
+    from medvae_tpu.models import ConditionalVAE
+    from medvae_tpu.train.optim import build_optimizer
+    from medvae_tpu.train.state import create_train_state
+    from medvae_tpu.train.step import build_train_step
+
+    model_kwargs, size, _ = _config()
+    model = ConditionalVAE(
+        input_channels=3,
+        condition_method="concat",
+        dropout=0.0,
+        dtype=jnp.bfloat16,
+        use_pallas=True,
+        **model_kwargs,
+    )
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, size, size, 3), jnp.bfloat16)
+    cond0 = jnp.zeros((2, 12), jnp.bfloat16)
+    variables = jax.jit(model.init)({"params": rng, "sample": rng}, x0, cond0)
+    tx = build_optimizer(
+        {"type": "adam", "lr": 1e-3}, {"type": "constant"}, gradient_clip_val=1.0
+    )
+    state = replicate(mesh, create_train_state(variables["params"], tx))
+    loss_cfg = {"type": "vae", "recon_loss_type": "mse",
+                "kl_weight": 1.0, "recon_weight": 1.0}
+    step = build_train_step(
+        model, loss_cfg, tx, mesh, augment=False, normalize=True, max_channels=3
+    )
+    return model, step, state, size
+
+
+def _cost_analysis_flops(step, state, batch, rng):
+    """FLOPs/step from XLA's compiled cost analysis (None if unavailable)."""
+    try:
+        compiled = step.lower(state, batch, rng).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_extras(flops_per_step, steps, elapsed, n_chips):
+    """NB: flops come from the compiled HLO, so configs with remat count the
+    rematerialized recompute — this is hardware utilization (what fraction of
+    peak the MXU sustained), slightly above model-FLOPs utilization."""
+    if not flops_per_step:
+        return {}
+    achieved = flops_per_step * steps / elapsed / n_chips
+    return {
+        "flops_per_step": round(flops_per_step, 0),
+        "achieved_tflops_per_chip": round(achieved / 1e12, 2),
+        "mfu": round(achieved / (PEAK_TFLOPS * 1e12), 4),
+    }
 
 
 def generation_bench() -> None:
     """BENCH_MODE=generate: conditional sampling throughput (samples/sec)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from medvae_tpu.models import DisentangledConditionalVAE
 
     model = DisentangledConditionalVAE(
@@ -75,70 +191,95 @@ def generation_bench() -> None:
     )
 
 
-def main() -> None:
-    if os.environ.get("BENCH_MODE") == "generate":
-        generation_bench()
-        return
-    from medvae_tpu.core.mesh import create_mesh, replicate, shard_batch
-    from medvae_tpu.models import ConditionalVAE
-    from medvae_tpu.train.optim import build_optimizer
-    from medvae_tpu.train.state import create_train_state
-    from medvae_tpu.train.step import build_train_step
+def pipeline_bench() -> None:
+    """BENCH_MODE=pipeline: end-to-end DeviceFeeder -> train step (the path a
+    real training run takes every step: host shuffle + fancy-index gather +
+    device_put, prefetch-overlapped with device compute)."""
+    from medvae_tpu.core.mesh import create_mesh
+    from medvae_tpu.data.medmnist import SplitArrays
+    from medvae_tpu.data.pipeline import DeviceFeeder
 
     mesh = create_mesh()
     n_chips = int(np.prod(list(mesh.shape.values())))
+    _, size, default_bs = _config()
+    batch_size = int(os.environ.get("BENCH_BATCH", default_bs)) * n_chips
+    model, step, state, size = _build(mesh, batch_size)
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 4096)) * n_chips
-    model = ConditionalVAE(
-        input_channels=3,
-        latent_dim=16,
-        hidden_channels=32,
-        ch_mult=(1, 2, 4),
-        num_res_blocks=1,
-        attn_resolutions=(),
-        dropout=0.0,
-        resolution=28,
-        condition_method="concat",
-        dtype=jnp.bfloat16,
-        use_pallas=True,
+    # synthetic dataset: enough for ~8 steps/epoch so shuffles are realistic
+    steps_per_epoch = int(os.environ.get("BENCH_EPOCH_STEPS", 8))
+    n = batch_size * steps_per_epoch
+    proto = _synthetic_batch(n, size)
+    arrays = SplitArrays(
+        images=proto["image_u8"],
+        labels=proto["label"],
+        modality_idx=proto["modality_idx"],
+        channels=3,
+    )
+    feeder = DeviceFeeder(
+        arrays, batch_size, mesh, shuffle=True, drop_last=True, prefetch=2
     )
 
     rng = jax.random.PRNGKey(0)
-    x0 = jnp.zeros((2, 28, 28, 3), jnp.bfloat16)
-    cond0 = jnp.zeros((2, 12), jnp.bfloat16)
-    variables = model.init({"params": rng, "sample": rng}, x0, cond0)
-
-    tx = build_optimizer(
-        {"type": "adam", "lr": 1e-3}, {"type": "constant"}, gradient_clip_val=1.0
-    )
-    state = replicate(mesh, create_train_state(variables["params"], tx))
-
-    loss_cfg = {"type": "vae", "recon_loss_type": "mse",
-                "kl_weight": 1.0, "recon_weight": 1.0}
-    step = build_train_step(
-        model, loss_cfg, tx, mesh, augment=False, normalize=True, max_channels=3
-    )
-
-    # synthetic multi-modal batch (structured, not noise)
-    rs = np.random.RandomState(0)
-    midx = (np.arange(batch_size) % 5).astype(np.int32)
-    batch_host = {
-        "image_u8": rs.randint(0, 255, (batch_size, 28, 28, 3), np.uint8),
-        "label": np.zeros((batch_size,), np.int32),
-        "modality_onehot": np.eye(12, dtype=np.float32)[midx],
-        "modality_idx": midx,
-        "channels": np.asarray([1, 3, 3, 1, 3], np.int32)[midx],
-        "valid": np.ones((batch_size,), np.float32),
-    }
-    batch = shard_batch(mesh, batch_host)
-
-    # warmup / compile. NB: through tunneled backends block_until_ready can be
-    # a no-op acknowledgment — fetching the VALUE is the only reliable fence,
-    # so all timing fences below use device_get.
-    state, m = step(state, batch, rng)
+    # warmup epoch: compile + caches
+    for batch in feeder.epoch(0):
+        state, m = step(state, batch, rng)
     float(jax.device_get(m["train/loss"]))
 
-    # timed window
+    flops_per_step = _cost_analysis_flops(step, state, batch, rng)
+
+    target_seconds = float(os.environ.get("BENCH_SECONDS", 12.0))
+    steps = 0
+    host_feed_time = 0.0
+    t0 = time.perf_counter()
+    epoch = 1
+    while True:
+        it = feeder.epoch(epoch)
+        while True:
+            th = time.perf_counter()
+            try:
+                batch = next(it)  # host gather + device_put dispatch
+            except StopIteration:
+                break
+            host_feed_time += time.perf_counter() - th
+            state, m = step(state, batch, rng)
+            steps += 1
+        float(jax.device_get(m["train/loss"]))  # epoch fence
+        epoch += 1
+        if time.perf_counter() - t0 > target_seconds:
+            break
+    last_loss = float(jax.device_get(m["train/loss"]))
+    elapsed = time.perf_counter() - t0
+    assert last_loss == last_loss, "NaN loss in benchmark"
+
+    per_chip = steps * batch_size / elapsed / n_chips
+    out = {
+        "metric": "cvae_train_pipeline_images_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 4),
+        "host_feed_duty_cycle": round(host_feed_time / elapsed, 4),
+    }
+    out.update(_mfu_extras(flops_per_step, steps, elapsed, n_chips))
+    print(json.dumps(out))
+
+
+def step_bench() -> None:
+    """Default: device-step throughput on a resident batch (no host feed)."""
+    from medvae_tpu.core.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh()
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    _, size, default_bs = _config()
+    batch_size = int(os.environ.get("BENCH_BATCH", default_bs)) * n_chips
+    model, step, state, size = _build(mesh, batch_size)
+    batch = shard_batch(mesh, _synthetic_batch(batch_size, size))
+
+    rng = jax.random.PRNGKey(0)
+    state, m = step(state, batch, rng)  # warmup / compile
+    float(jax.device_get(m["train/loss"]))
+
+    flops_per_step = _cost_analysis_flops(step, state, batch, rng)
+
     target_seconds = float(os.environ.get("BENCH_SECONDS", 8.0))
     steps = 0
     t0 = time.perf_counter()
@@ -153,18 +294,25 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     assert last_loss == last_loss, "NaN loss in benchmark"
 
-    images_per_sec = steps * batch_size / elapsed
-    per_chip = images_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "cvae_train_images_per_sec_per_chip",
-                "value": round(per_chip, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 4),
-            }
-        )
-    )
+    per_chip = steps * batch_size / elapsed / n_chips
+    out = {
+        "metric": "cvae_train_images_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 4),
+    }
+    out.update(_mfu_extras(flops_per_step, steps, elapsed, n_chips))
+    print(json.dumps(out))
+
+
+def main() -> None:
+    mode = os.environ.get("BENCH_MODE", "step")
+    if mode == "generate":
+        generation_bench()
+    elif mode == "pipeline":
+        pipeline_bench()
+    else:
+        step_bench()
 
 
 if __name__ == "__main__":
