@@ -19,6 +19,11 @@ class NLayerDiscriminator(nn.Module):
     n_layers: int = 3
     use_actnorm: bool = False
     dtype: jnp.dtype = jnp.float32
+    # cross-shard sync-BatchNorm axis for explicit shard_map training: under
+    # jit+NamedSharding XLA computes BN moments over the GLOBAL batch
+    # automatically; inside shard_map the same semantics require pmean over
+    # the data axis (flax BatchNorm axis_name). None = local batch.
+    bn_axis_name: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -28,7 +33,10 @@ class NLayerDiscriminator(nn.Module):
                     num_groups=min(32, planes), dtype=jnp.float32, name=name
                 )(h)
             return nn.BatchNorm(
-                use_running_average=not train, dtype=jnp.float32, name=name
+                use_running_average=not train,
+                dtype=jnp.float32,
+                name=name,
+                axis_name=self.bn_axis_name,
             )(h)
 
         use_bias = not self.use_actnorm

@@ -29,7 +29,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from medvae_tpu.core.mesh import DATA_AXIS
 from medvae_tpu.models import DisentangledConditionalVAE
 from medvae_tpu.train.state import TrainState
-from medvae_tpu.train.step import make_criterion, make_forward_fn, preprocess
+from medvae_tpu.train.step import (
+    make_criterion,
+    make_forward_fn,
+    make_gan_grads_fn,
+    make_gan_loss,
+    preprocess,
+)
 
 
 def build_shard_map_train_step(
@@ -116,6 +122,103 @@ def build_shard_map_train_step(
     # batch-leading and shards over the data axis) so optional entries — e.g.
     # the per-sample reparameterization `noise` used by the equivalence
     # tests — ride along without a fixed schema.
+    cache: Dict[tuple, Any] = {}
+
+    def step(state: TrainState, batch, rng):
+        key = tuple(sorted(batch.keys()))
+        if key not in cache:
+            batch_spec = {k: P(DATA_AXIS) for k in key}
+            sharded = shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(state_spec, batch_spec, P()),
+                out_specs=(state_spec, state_spec),
+                check_rep=False,
+            )
+            cache[key] = jax.jit(
+                sharded, donate_argnums=(0,) if donate else ()
+            )
+        return cache[key](state, batch, rng)
+
+    return step
+
+
+def build_shard_map_gan_step(
+    model,
+    loss_cfg: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    disc,
+    disc_tx: optax.GradientTransformation,
+    *,
+    augment: bool = False,
+    normalize: bool = True,
+    max_channels: int = 3,
+    donate: bool = True,
+):
+    """Explicit shard_map variant of the dual-optimizer GAN step.
+
+    Semantics match the jit/NamedSharding GAN step over the global batch:
+      * generator and discriminator gradients are pmean'd over the data axis,
+      * the adaptive d_weight is computed from GLOBAL conv_out-kernel grads
+        (pmean'd before the norm ratio),
+      * discriminator BatchNorm runs in sync-BN mode (flax axis_name) so the
+        moments are global-batch moments — exactly what XLA's automatic
+        partitioning produces for the jit step.
+    Numerical equivalence is enforced by tests/test_train.py
+    (test_gan_jit_and_shard_map_steps_agree).
+    """
+    # sync-BN clone: same params/stats tree, cross-shard moments during train
+    disc_sync = disc.clone(bn_axis_name=DATA_AXIS)
+    gan_loss = make_gan_loss(loss_cfg)
+    gan_grads = make_gan_grads_fn(
+        model, disc_sync, gan_loss,
+        kernel_grad_sync=lambda t: jax.lax.pmean(t, DATA_AXIS),
+    )
+    compute_dtype = getattr(model, "dtype", jnp.float32)
+
+    def shard_fn(state: TrainState, batch, rng):
+        axis = jax.lax.axis_index(DATA_AXIS)
+        k = jax.random.fold_in(jax.random.fold_in(rng, state.step), axis)
+        ks, kd, ka = jax.random.split(k, 3)
+        rngs = {"sample": ks, "dropout": kd}
+
+        x = preprocess(
+            batch,
+            ka,
+            augment=augment,
+            normalize=normalize,
+            max_channels=max_channels,
+            dtype=compute_dtype,
+        )
+        g_grads, d_grads, new_stats, logs = gan_grads(
+            state.params, state.disc_params, state.disc_batch_stats,
+            state.frozen, x, batch, rngs, state.step,
+        )
+        g_grads = jax.lax.pmean(g_grads, DATA_AXIS)
+        d_grads = jax.lax.pmean(d_grads, DATA_AXIS)
+        logs = jax.lax.pmean(logs, DATA_AXIS)
+        # sync-BN makes per-shard running stats identical; pmean is a no-op
+        # numerically but re-establishes replication for the out_spec
+        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+
+        g_updates, new_opt = tx.update(g_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, g_updates)
+        d_updates, new_disc_opt = disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params
+        )
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            disc_params=new_disc_params,
+            disc_batch_stats=new_stats,
+            disc_opt_state=new_disc_opt,
+        )
+        return new_state, logs
+
+    state_spec = P()
     cache: Dict[tuple, Any] = {}
 
     def step(state: TrainState, batch, rng):

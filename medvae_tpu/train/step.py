@@ -226,6 +226,116 @@ def _batch_sharding(mesh: Mesh, batch_spec: Dict[str, int]):
     return data
 
 
+
+def make_gan_grads_fn(model, disc, gan_loss, kernel_grad_sync=None):
+    """Per-(micro)batch generator + discriminator gradient computation for the
+    dual-optimizer GAN path (shared by the jit step and the explicit shard_map
+    step).
+
+    `kernel_grad_sync` (e.g. a pmean over the data axis) is applied to the two
+    conv_out-kernel gradients BEFORE the adaptive-weight ratio, so under
+    explicit data parallelism d_weight is computed from global-batch gradients
+    exactly as the jit/NamedSharding formulation does.
+
+    Returns gan_grads(params, disc_params, disc_stats, frozen, x, batch, rngs,
+    step) -> (g_grads, d_grads, new_batch_stats, logs); optimizer updates are
+    applied by the caller (once per step, after optional microbatch/shard
+    averaging)."""
+    forward = make_forward_fn(model)
+    decode_fn = make_decode_fn(model)
+    sync = kernel_grad_sync or (lambda t: t)
+
+    def gan_grads(params, disc_params, disc_stats, frozen, x, batch_mb, rngs, step):
+        disc_vars = {"params": disc_params, "batch_stats": disc_stats}
+
+        def run_model(p):
+            outputs = forward(p, x, batch_mb, rngs, deterministic=False)
+            kl_el = gaussian_kl(outputs["mean"], outputs["logvar"])
+            kl_per_sample = jnp.sum(kl_el.reshape(kl_el.shape[0], -1), axis=1)
+            return outputs, kl_per_sample
+
+        # adaptive weight: grad w.r.t. the decoder conv_out kernel of the
+        # perceptual loss vs the adversarial loss (reference vae_losses.py:370-382).
+        # Only the decode-from-z path depends on that kernel, so the closures
+        # re-run the DECODER alone on a stop_gradient'ed latent — the same
+        # gradient as re-running the full model, at half the extra cost.
+        outputs0, _ = run_model(params)
+        z0 = jax.lax.stop_gradient(outputs0["z"])
+        last_path = ("decoder", "conv_out", "kernel")
+
+        def _with_last(p, kernel):
+            sub = dict(p[last_path[0]])
+            inner = dict(sub[last_path[1]])
+            inner[last_path[2]] = kernel
+            sub[last_path[1]] = inner
+            out = dict(p)
+            out[last_path[0]] = sub
+            return out
+
+        def p_of_kernel(kernel):
+            recon = decode_fn(_with_last(params, kernel), z0, batch_mb)
+            return gan_loss.perceptual_loss(frozen["lpips"], x, recon)
+
+        def g_of_kernel(kernel):
+            recon = decode_fn(_with_last(params, kernel), z0, batch_mb)
+            logits = disc.apply(disc_vars, discriminator_input(recon), train=False)
+            return -jnp.mean(logits.astype(jnp.float32))
+
+        kernel0 = params[last_path[0]][last_path[1]][last_path[2]]
+        nll_grads = sync(jax.grad(p_of_kernel)(kernel0))
+        gk_grads = sync(jax.grad(g_of_kernel)(kernel0))
+        d_weight = adaptive_weight(nll_grads, gk_grads)
+
+        def g_loss_fn(p):
+            outputs, kl_per_sample = run_model(p)
+            logits_fake = disc.apply(
+                disc_vars,
+                discriminator_input(outputs["reconstruction"]),
+                train=False,
+            )
+            loss, log = gan_loss.generator_loss(
+                frozen,
+                x,
+                outputs["reconstruction"],
+                kl_per_sample,
+                logits_fake,
+                d_weight,
+                step,
+            )
+            return loss, (log, outputs)
+
+        (_, (g_log, outputs)), g_grads_full = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(params)
+
+        # discriminator grads on detached reconstructions (reference :153-167)
+        recon_detached = jax.lax.stop_gradient(outputs["reconstruction"])
+
+        def d_loss_fn(dp):
+            v = {"params": dp, "batch_stats": disc_stats}
+            logits_real, mut1 = disc.apply(
+                v, discriminator_input(x), train=True, mutable=["batch_stats"]
+            )
+            v2 = {"params": dp, "batch_stats": mut1["batch_stats"]}
+            logits_fake, mut2 = disc.apply(
+                v2,
+                discriminator_input(recon_detached),
+                train=True,
+                mutable=["batch_stats"],
+            )
+            d_loss, d_log = gan_loss.discriminator_loss(
+                logits_real, logits_fake, step
+            )
+            return d_loss, (d_log, mut2["batch_stats"])
+
+        (_, (d_log, new_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(disc_params)
+        return g_grads_full, d_grads, new_stats, {**g_log, **d_log}
+
+    return gan_grads
+
+
 def build_train_step(
     model,
     loss_cfg: Dict[str, Any],
@@ -253,11 +363,6 @@ def build_train_step(
     forward = make_forward_fn(model)
     loss_type = str(loss_cfg.get("type", "vae"))
     use_gan = loss_type == "lpips_discriminator"
-    if use_gan and accumulate_grad_batches > 1:
-        raise NotImplementedError(
-            "gradient accumulation with the GAN loss is not supported yet "
-            "(dual-optimizer microbatching); reduce the batch size instead"
-        )
     gan_loss = make_gan_loss(loss_cfg) if use_gan else None
     criterion = None if use_gan else make_criterion(loss_cfg, model)
     compute_dtype = getattr(model, "dtype", jnp.float32)
@@ -359,6 +464,10 @@ def build_train_step(
         return new_state, metrics
 
     # ---------------- GAN dual-optimizer path ------------------------------
+    _gan_grads = (
+        make_gan_grads_fn(model, disc, gan_loss) if use_gan else None
+    )
+
     def gan_train_step(state: TrainState, batch, rng):
         rngs, k_aug = _rngs(rng, state.step)
         x = preprocess(
@@ -369,106 +478,77 @@ def build_train_step(
             max_channels=max_channels,
             dtype=compute_dtype,
         )
-        disc_vars = {
-            "params": state.disc_params,
-            "batch_stats": state.disc_batch_stats,
-        }
 
-        def run_model(params):
-            outputs = forward(params, x, batch, rngs, deterministic=False)
-            kl_el = gaussian_kl(outputs["mean"], outputs["logvar"])
-            kl_per_sample = jnp.sum(kl_el.reshape(kl_el.shape[0], -1), axis=1)
-            return outputs, kl_per_sample
-
-        # adaptive weight: ∇ w.r.t. the decoder's conv_out kernel of the
-        # perceptual loss vs the adversarial loss (reference vae_losses.py:370-382).
-        # Only the decode-from-z path depends on that kernel, so the closures
-        # re-run the DECODER alone on a stop_gradient'ed latent — the same
-        # gradient as re-running the full model, at half the extra cost.
-        decode_fn = make_decode_fn(model)
-        outputs0, _ = run_model(state.params)
-        z0 = jax.lax.stop_gradient(outputs0["z"])
-        last_path = ("decoder", "conv_out", "kernel")
-
-        def _with_last(params, kernel):
-            d = params
-            sub = dict(d[last_path[0]])
-            inner = dict(sub[last_path[1]])
-            inner[last_path[2]] = kernel
-            sub[last_path[1]] = inner
-            out = dict(d)
-            out[last_path[0]] = sub
-            return out
-
-        def p_of_kernel(kernel):
-            recon = decode_fn(_with_last(state.params, kernel), z0, batch)
-            return gan_loss.perceptual_loss(state.frozen["lpips"], x, recon)
-
-        def g_of_kernel(kernel):
-            recon = decode_fn(_with_last(state.params, kernel), z0, batch)
-            logits = disc.apply(
-                disc_vars, discriminator_input(recon), train=False
+        k = accumulate_grad_batches
+        if k <= 1:
+            g_grads_full, d_grads, new_stats, logs = _gan_grads(
+                state.params, state.disc_params, state.disc_batch_stats,
+                state.frozen, x, batch, rngs, state.step,
             )
-            return -jnp.mean(logits.astype(jnp.float32))
+        else:
+            # microbatch scan (the Lightning accumulate_grad_batches knob in
+            # manual-optimization mode): G and D grads averaged over k chunks,
+            # ONE update per optimizer; BatchNorm stats thread sequentially
+            if x.shape[0] % k != 0:
+                raise ValueError(
+                    f"batch size {x.shape[0]} not divisible by "
+                    f"accumulate_grad_batches={k}"
+                )
 
-        kernel0 = state.params[last_path[0]][last_path[1]][last_path[2]]
-        nll_grads = jax.grad(p_of_kernel)(kernel0)
-        g_grads = jax.grad(g_of_kernel)(kernel0)
-        d_weight = adaptive_weight(nll_grads, g_grads)
+            def split(t):
+                return t.reshape(k, t.shape[0] // k, *t.shape[1:])
 
-        def g_loss_fn(params):
-            outputs, kl_per_sample = run_model(params)
-            logits_fake = disc.apply(
-                disc_vars,
-                discriminator_input(outputs["reconstruction"]),
-                train=False,
+            x_mb = split(x)
+            batch_mb = jax.tree_util.tree_map(split, batch)
+
+            def body(carry, inp):
+                g_acc, d_acc, stats, log_acc = carry
+                i, x_i, b_i = inp
+                mb_rngs = {
+                    name: jax.random.fold_in(key, i) for name, key in rngs.items()
+                }
+                g_g, d_g, new_stats_i, logs_i = _gan_grads(
+                    state.params, state.disc_params, stats, state.frozen,
+                    x_i, b_i, mb_rngs, state.step,
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_g)
+                d_acc = jax.tree_util.tree_map(jnp.add, d_acc, d_g)
+                log_acc = jax.tree_util.tree_map(jnp.add, log_acc, logs_i)
+                return (g_acc, d_acc, new_stats_i, log_acc), None
+
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
-            loss, log = gan_loss.generator_loss(
-                state.frozen,
-                x,
-                outputs["reconstruction"],
-                kl_per_sample,
-                logits_fake,
-                d_weight,
-                state.step,
+            zero_d = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.disc_params
             )
-            return loss, (log, outputs)
+            log_shapes = jax.eval_shape(
+                lambda: _gan_grads(
+                    state.params, state.disc_params, state.disc_batch_stats,
+                    state.frozen, x_mb[0],
+                    jax.tree_util.tree_map(lambda t: t[0], batch_mb),
+                    rngs, state.step,
+                )[3]
+            )
+            zero_log = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, jnp.float32), log_shapes
+            )
+            (g_grads_full, d_grads, new_stats, logs), _ = jax.lax.scan(
+                body,
+                (zero_g, zero_d, state.disc_batch_stats, zero_log),
+                (jnp.arange(k), x_mb, batch_mb),
+            )
+            g_grads_full = jax.tree_util.tree_map(lambda g: g / k, g_grads_full)
+            d_grads = jax.tree_util.tree_map(lambda g: g / k, d_grads)
+            logs = jax.tree_util.tree_map(lambda v: v / k, logs)
 
-        (_, (g_log, outputs)), g_grads_full = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.params)
         g_updates, new_opt = tx.update(g_grads_full, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, g_updates)
-
-        # discriminator step on detached reconstructions (reference :153-167)
-        recon_detached = jax.lax.stop_gradient(outputs["reconstruction"])
-
-        def d_loss_fn(disc_params):
-            v = {"params": disc_params, "batch_stats": state.disc_batch_stats}
-            logits_real, mut1 = disc.apply(
-                v, discriminator_input(x), train=True, mutable=["batch_stats"]
-            )
-            v2 = {"params": disc_params, "batch_stats": mut1["batch_stats"]}
-            logits_fake, mut2 = disc.apply(
-                v2,
-                discriminator_input(recon_detached),
-                train=True,
-                mutable=["batch_stats"],
-            )
-            d_loss, d_log = gan_loss.discriminator_loss(
-                logits_real, logits_fake, state.step
-            )
-            return d_loss, (d_log, mut2["batch_stats"])
-
-        (_, (d_log, new_stats)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(state.disc_params)
         d_updates, new_disc_opt = disc_tx.update(
             d_grads, state.disc_opt_state, state.disc_params
         )
         new_disc_params = optax.apply_updates(state.disc_params, d_updates)
 
-        metrics = {**g_log, **d_log}
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -477,7 +557,7 @@ def build_train_step(
             disc_batch_stats=new_stats,
             disc_opt_state=new_disc_opt,
         )
-        return new_state, metrics
+        return new_state, logs
 
     fn = gan_train_step if use_gan else train_step
     repl, _ = _shardings(mesh)
@@ -496,17 +576,31 @@ def build_eval_step(
     *,
     normalize: bool = True,
     max_channels: int = 3,
+    disc=None,
 ):
     """Eval step: forward (no dropout) + loss + recon/KL/latent metrics, all
-    masked by batch validity (reference validation_step :220-311)."""
+    masked by batch validity (reference validation_step :220-311).
+
+    For the GAN loss (`disc` given), val terms follow the reference's
+    validation semantics (lightning_module.py:264-273 with split="val"):
+    val/loss = perceptual_factor·LPIPS + kl_factor·KL (+ clip term), with
+    d_weight = 0 — the reference's calculate_adaptive_weight raises under
+    no_grad and falls back to 0 (vae_losses.py:306-311). val/g_loss and
+    val/d_loss are logged for observability, so plateau scheduling /
+    checkpoint best-k monitor a metric the GAN run actually optimizes."""
     forward = make_forward_fn(model)
     loss_type = str(loss_cfg.get("type", "vae"))
-    if loss_type == "lpips_discriminator":
-        # validation logs the plain VAE objective components (the reference
-        # computes criterion-specific val losses; recon metrics dominate)
-        criterion = make_criterion({"type": "vae"}, model)
+    use_gan = loss_type == "lpips_discriminator" and disc is not None
+    if use_gan:
+        gan_loss = make_gan_loss(loss_cfg)
+        criterion = None
     else:
-        criterion = make_criterion(loss_cfg, model)
+        if loss_type == "lpips_discriminator":
+            # no discriminator module supplied: fall back to the plain VAE
+            # objective components (recon metrics dominate)
+            criterion = make_criterion({"type": "vae"}, model)
+        else:
+            criterion = make_criterion(loss_cfg, model)
     compute_dtype = getattr(model, "dtype", jnp.float32)
 
     def eval_step(state: TrainState, batch, rng):
@@ -516,7 +610,35 @@ def build_eval_step(
             max_channels=max_channels, dtype=compute_dtype,
         )
         outputs = forward(state.params, x, batch, rngs, deterministic=True)
-        loss_dict = criterion(state.frozen, outputs, x)
+        if use_gan:
+            disc_vars = {
+                "params": state.disc_params,
+                "batch_stats": state.disc_batch_stats,
+            }
+            kl_el = gaussian_kl(outputs["mean"], outputs["logvar"])
+            kl_per_sample = jnp.sum(kl_el.reshape(kl_el.shape[0], -1), axis=1)
+            logits_fake = disc.apply(
+                disc_vars,
+                discriminator_input(outputs["reconstruction"]),
+                train=False,
+            )
+            loss, g_log = gan_loss.generator_loss(
+                state.frozen, x, outputs["reconstruction"], kl_per_sample,
+                logits_fake, jnp.asarray(0.0, jnp.float32),  # d_weight=0 in val
+                state.step, split="val",
+            )
+            logits_real = disc.apply(
+                disc_vars, discriminator_input(x), train=False
+            )
+            _, d_log = gan_loss.discriminator_loss(
+                logits_real, logits_fake, state.step, split="val"
+            )
+            loss_dict = {"loss": loss}
+            loss_dict.update(
+                {k.split("/", 1)[1]: v for k, v in {**g_log, **d_log}.items()}
+            )
+        else:
+            loss_dict = criterion(state.frozen, outputs, x)
         valid = batch.get("valid")
         metrics = {f"val/{k}": v for k, v in loss_dict.items()}
         metrics.update(

@@ -195,9 +195,11 @@ class Trainer:
             self._plateau = {
                 "factor": float(sched_cfg.get("factor", 0.1)),
                 "patience": int(sched_cfg.get("patience", 10)),
+                "monitor": str(sched_cfg.get("monitor", "val/loss")),
                 "best": None,
                 "count": 0,
             }
+        self._monitors_checked = False
 
         # `parallel.explicit_shard_map: true` switches the train step to the
         # explicit shard_map/psum formulation (parallel/shard_map_step.py);
@@ -206,7 +208,21 @@ class Trainer:
         explicit_sm = bool(
             (cfg.get("parallel") or {}).get("explicit_shard_map", False)
         )
-        if explicit_sm and not use_gan:
+        if explicit_sm and use_gan:
+            from medvae_tpu.parallel import build_shard_map_gan_step
+
+            self.train_step = build_shard_map_gan_step(
+                self.model,
+                self.loss_cfg,
+                self.tx,
+                self.mesh,
+                disc,
+                disc_tx,
+                augment=bool(self.datamodule.augment_train),
+                normalize=bool(self.datamodule.normalize),
+                max_channels=self.datamodule.max_channels,
+            )
+        elif explicit_sm:
             from medvae_tpu.parallel import build_shard_map_train_step
 
             self.train_step = build_shard_map_train_step(
@@ -241,6 +257,7 @@ class Trainer:
             self.mesh,
             normalize=bool(self.datamodule.normalize),
             max_channels=self.datamodule.max_channels,
+            disc=disc,
         )
 
         # bookkeeping -----------------------------------------------------------
@@ -402,6 +419,7 @@ class Trainer:
 
                 if (epoch + 1) % check_every == 0:
                     last_val = self.validate()
+                    self._check_monitors(last_val)
                     step = (epoch + 1) * self.steps_per_epoch
                     last_val["epoch_time_sec"] = time.time() - epoch_t0
                     self.logger.log(last_val, step)
@@ -428,10 +446,29 @@ class Trainer:
         print(f"Final checkpoint: {final}")
         return last_val
 
+    def _check_monitors(self, val_metrics: Dict[str, float]) -> None:
+        """Fail fast on a monitor key the eval step never emits — a
+        misconfigured monitor must be an error, not a silent no-op (the
+        reference would silently never checkpoint/stop)."""
+        if self._monitors_checked:
+            return
+        self._monitors_checked = True
+        wanted = {"checkpointing.monitor": self.ckpt.monitor}
+        if self.early_stopping is not None:
+            wanted["early_stopping.monitor"] = self.early_stopping.monitor
+        if self._plateau is not None:
+            wanted["scheduler.monitor (plateau)"] = self._plateau["monitor"]
+        missing = {n: k for n, k in wanted.items() if k not in val_metrics}
+        if missing:
+            raise ValueError(
+                f"Monitored metric(s) not produced by validation: {missing}. "
+                f"Available keys: {sorted(val_metrics)}"
+            )
+
     def _maybe_reduce_lr(self, val_metrics: Dict[str, float]) -> None:
         if self._plateau is None:
             return
-        value = val_metrics.get("val/loss")
+        value = val_metrics.get(self._plateau["monitor"])
         if value is None:
             return
         p = self._plateau
