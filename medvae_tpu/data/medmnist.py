@@ -296,6 +296,10 @@ class MedMNISTDataModule:
             n: DATASET_CHANNELS[n] for n in self.dataset_names
         }
         self._splits: Dict[str, SplitArrays] = {}
+        # (dataset, split) pairs that fell back to the synthetic generator —
+        # surfaced as loud banners by the trainer/evaluate CLI so synthetic
+        # results are never mistaken for real-MedMNIST results
+        self.synthetic_datasets: set = set()
 
     def setup(self, stage: Optional[str] = None) -> None:
         wanted: List[str] = []
@@ -306,7 +310,7 @@ class MedMNISTDataModule:
         for split in wanted:
             if split in self._splits:
                 continue
-            parts = [
+            sources = [
                 MedMNISTSource(
                     name,
                     split=split,
@@ -315,9 +319,13 @@ class MedMNISTDataModule:
                     max_channels=self.max_channels,
                     synthetic_fallback=self.synthetic_fallback,
                     seed=self.seed,
-                ).arrays
+                )
                 for name in self.dataset_names
             ]
+            for src in sources:
+                if src.synthetic:
+                    self.synthetic_datasets.add((src.dataset_name, split))
+            parts = [s.arrays for s in sources]
             self._splits[split] = SplitArrays(
                 images=np.concatenate([p.images for p in parts]),
                 labels=np.concatenate([p.labels for p in parts]),

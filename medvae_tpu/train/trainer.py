@@ -371,8 +371,12 @@ class Trainer:
         profile = bool(self.cfg.get("debug", {}).get("profile", False))
 
         limit_train = int(tcfg.get("limit_train_batches", 0)) or None
+        # recon/sample grids every N epochs (reference logs media every 10
+        # epochs, lightning_module.py:479-552); 0 disables
+        media_every = int(tcfg.get("log_images_every_n_epochs", 10) or 0)
 
         feeder = self._feeder("train", shuffle=True, drop_last=True)
+        self._warn_if_synthetic()
         last_val: Dict[str, float] = {}
         t_start = time.time()
         images_seen = 0
@@ -429,6 +433,8 @@ class Trainer:
                         f"psnr {last_val.get('val/psnr', float('nan')):.2f}"
                     )
                     self.ckpt.save_step(self.state, last_val)
+                    if media_every and epoch % media_every == 0:
+                        self._log_media(epoch, step)
                     self._maybe_reduce_lr(last_val)
                     if self.early_stopping and self.early_stopping.update(last_val):
                         print(f"Early stopping at epoch {epoch}")
@@ -445,6 +451,96 @@ class Trainer:
         self.ckpt.wait()  # drain the async write before interpreter teardown
         print(f"Final checkpoint: {final}")
         return last_val
+
+    def _warn_if_synthetic(self) -> None:
+        synth = getattr(self.datamodule, "synthetic_datasets", set())
+        if synth:
+            names = sorted({d for d, _ in synth})
+            print(
+                "=" * 72
+                + "\n!! SYNTHETIC DATA: no MedMNIST npz found for "
+                + ", ".join(names)
+                + f" under '{getattr(self.datamodule, 'root', '?')}' — training"
+                  " on the structured synthetic generator. Metrics are NOT"
+                  " comparable to real-MedMNIST results.\n"
+                + "=" * 72
+            )
+
+    def _log_media(self, epoch: int, step: int) -> None:
+        """Render reconstruction + prior-sample grids into
+        <run_dir>/media/epoch_XXXX_*.png (and W&B when enabled) — parity with
+        the reference's in-training image logging
+        (lightning_module.py:479-552)."""
+        from medvae_tpu.train.step import make_forward_fn, preprocess
+        from medvae_tpu.utils.visualization import (
+            plot_reconstructions,
+            plot_samples,
+            to_unit,
+        )
+
+        media_dir = os.path.join(self.logger.dir, "media")
+        os.makedirs(media_dir, exist_ok=True)
+
+        if getattr(self, "_media_fn", None) is None:
+            forward = make_forward_fn(self.model)
+
+            def run(state, b, rng):
+                x = preprocess(
+                    b, None, augment=False,
+                    normalize=bool(self.datamodule.normalize),
+                    max_channels=self.datamodule.max_channels,
+                    dtype=getattr(self.model, "dtype", jnp.float32),
+                )
+                out = forward(
+                    state.params, x, b, {"sample": rng}, deterministic=True
+                )
+                return x, out["reconstruction"]
+
+            self._media_fn = jax.jit(run)
+
+            n = 16
+            if isinstance(self.model, DisentangledConditionalVAE):
+                midx = jnp.asarray(
+                    np.arange(n) % self.model.num_modalities, jnp.int32
+                )
+                self._sample_fn = jax.jit(
+                    lambda p, k: self.model.apply(
+                        {"params": p}, n, midx, k,
+                        method=self.model.sample_conditional,
+                    )
+                )
+            else:
+                # ConditionalVAE's decoder is unconditional (reference TODO),
+                # so the plain prior sample covers it too
+                self._sample_fn = jax.jit(
+                    lambda p, k: self.model.apply(
+                        {"params": p}, n, k, method=self.model.sample
+                    )
+                )
+
+        feeder = self._feeder("val", shuffle=False, drop_last=False)
+        batch = next(iter(feeder.epoch(0)))
+        x, recon = jax.device_get(self._media_fn(self.state, batch, self.rng))
+        samples = jax.device_get(
+            self._sample_fn(self.state.params, jax.random.fold_in(self.rng, epoch))
+        )
+
+        recon_path = os.path.join(media_dir, f"epoch_{epoch:04d}_recon.png")
+        sample_path = os.path.join(media_dir, f"epoch_{epoch:04d}_samples.png")
+        plot_reconstructions(
+            to_unit(np.asarray(x[:8], np.float32)),
+            to_unit(np.asarray(recon[:8], np.float32)),
+            save_path=recon_path,
+        )
+        plot_samples(
+            to_unit(np.asarray(samples, np.float32)),
+            save_path=sample_path,
+            title=f"Prior samples — epoch {epoch}",
+        )
+        self.logger.log_images(
+            {"media/reconstructions": recon_path, "media/samples": sample_path},
+            step,
+        )
 
     def _check_monitors(self, val_metrics: Dict[str, float]) -> None:
         """Fail fast on a monitor key the eval step never emits — a

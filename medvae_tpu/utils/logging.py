@@ -84,6 +84,23 @@ class MetricLogger:
             with open(self._csv_path, "a", newline="") as f:
                 csv.DictWriter(f, fieldnames=self._csv_fields).writerow(row)
 
+    def log_images(self, images: Dict[str, str], step: int) -> None:
+        """Log already-rendered image files (name -> path). Files live in the
+        run dir regardless; W&B additionally gets them as media (the
+        reference's every-10-epochs recon/sample grids,
+        lightning_module.py:479-552)."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb  # type: ignore
+
+            self._wandb.log(
+                {name: wandb.Image(path) for name, path in images.items()},
+                step=step,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"[logger] wandb image log failed ({e})")
+
     def close(self):
         self._jsonl.close()
         if self._wandb is not None:

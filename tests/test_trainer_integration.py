@@ -44,6 +44,11 @@ def test_trainer_end_to_end(tmp_path, config_dir):
     run_dir = os.path.join(str(tmp_path), "logs", "chest_base_vae_quick")
     assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
     assert os.path.exists(os.path.join(run_dir, "hparams.yaml"))
+    # in-training media logging (reference logs grids every 10 epochs; epoch 0
+    # matches `epoch % 10 == 0`)
+    media = os.path.join(run_dir, "media")
+    assert os.path.exists(os.path.join(media, "epoch_0000_recon.png"))
+    assert os.path.exists(os.path.join(media, "epoch_0000_samples.png"))
 
 
 def test_trainer_gan_multidevice_end_to_end(tmp_path, config_dir):
