@@ -76,6 +76,15 @@ class DeviceFeeder:
         }
 
     def _put(self, batch: Dict[str, np.ndarray]):
+        if jax.process_count() > 1:
+            # multi-host: this process supplies only its addressable shard
+            # (batch rows for its dcn row); no cross-host batch transfer
+            return {
+                k: jax.make_array_from_process_local_data(
+                    data_sharding(self.mesh, np.ndim(v)), v
+                )
+                for k, v in batch.items()
+            }
         return {
             k: jax.device_put(v, data_sharding(self.mesh, np.ndim(v)))
             for k, v in batch.items()
@@ -91,6 +100,17 @@ class DeviceFeeder:
         bs = self.batch_size
         from collections import deque
 
+        # multi-host: every process draws the same shuffled order (seeded
+        # identically), then gathers only its own contiguous slice of each
+        # global batch — rows [p*local : (p+1)*local] belong to process p's
+        # dcn mesh row (core/mesh.py orders dcn rows by process_index)
+        n_proc = jax.process_count()
+        p = jax.process_index()
+        assert bs % n_proc == 0, (
+            f"global batch {bs} not divisible by {n_proc} processes"
+        )
+        local = bs // n_proc
+
         pending: deque = deque()
         for step in range(self.steps_per_epoch):
             lo = step * bs
@@ -102,6 +122,9 @@ class DeviceFeeder:
                 pad = order[: bs - len(idx)]
                 valid = np.concatenate([valid, np.zeros(len(pad), bool)])
                 idx = np.concatenate([idx, pad])
+            if n_proc > 1:
+                idx = idx[p * local : (p + 1) * local]
+                valid = valid[p * local : (p + 1) * local]
             # device_put dispatches asynchronously: keep `prefetch` batches in
             # flight so host gather + transfer overlap device compute
             pending.append(self._put(self._gather(idx, valid)))

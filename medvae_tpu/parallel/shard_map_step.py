@@ -51,6 +51,12 @@ def build_shard_map_train_step(
 ):
     """Returns step(state, batch, rng) -> (state, metrics); batch axis must be
     divisible by the mesh's data-axis size."""
+    if "dcn" in mesh.axis_names:
+        raise NotImplementedError(
+            "the explicit shard_map steps address the single-slice (data, "
+            "model) mesh; cross-host (dcn) training uses the default jit + "
+            "NamedSharding path (core/mesh.py, scripts/dcn_dryrun.py)"
+        )
     forward = make_forward_fn(model)
     criterion = make_criterion(loss_cfg, model)
     compute_dtype = getattr(model, "dtype", jnp.float32)
@@ -168,6 +174,12 @@ def build_shard_map_gan_step(
     Numerical equivalence is enforced by tests/test_train.py
     (test_gan_jit_and_shard_map_steps_agree).
     """
+    if "dcn" in mesh.axis_names:
+        raise NotImplementedError(
+            "the explicit shard_map steps address the single-slice (data, "
+            "model) mesh; cross-host (dcn) training uses the default jit + "
+            "NamedSharding path (core/mesh.py, scripts/dcn_dryrun.py)"
+        )
     # sync-BN clone: same params/stats tree, cross-shard moments during train
     disc_sync = disc.clone(bn_axis_name=DATA_AXIS)
     gan_loss = make_gan_loss(loss_cfg)

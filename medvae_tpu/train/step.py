@@ -213,14 +213,18 @@ def make_gan_loss(loss_cfg: Dict[str, Any]) -> LPIPSWithDiscriminator:
 
 
 def _shardings(mesh: Mesh):
+    from medvae_tpu.core.mesh import batch_axes
+
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
+    data = NamedSharding(mesh, P(batch_axes(mesh)))
     return repl, data
 
 
 def _batch_sharding(mesh: Mesh, batch_spec: Dict[str, int]):
+    from medvae_tpu.core.mesh import batch_axes
+
     data = {
-        k: NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1))))
+        k: NamedSharding(mesh, P(batch_axes(mesh), *([None] * (nd - 1))))
         for k, nd in batch_spec.items()
     }
     return data
