@@ -581,6 +581,7 @@ def build_eval_step(
     normalize: bool = True,
     max_channels: int = 3,
     disc=None,
+    n_modalities: int = 0,
 ):
     """Eval step: forward (no dropout) + loss + recon/KL/latent metrics, all
     masked by batch validity (reference validation_step :220-311).
@@ -606,6 +607,14 @@ def build_eval_step(
         else:
             criterion = make_criterion(loss_cfg, model)
     compute_dtype = getattr(model, "dtype", jnp.float32)
+    # per-modality breakdown width: the 12 MedMNIST modalities by default,
+    # widened when a model declares more (fixes the silent truncation the
+    # hardcoded 12 would cause for num_modalities > 12)
+    from medvae_tpu.data.medmnist import MODALITY_NAMES as _MODS
+
+    n_mod = max(
+        n_modalities, len(_MODS), int(getattr(model, "num_modalities", 0) or 0)
+    )
 
     def eval_step(state: TrainState, batch, rng):
         rngs = {"sample": jax.random.fold_in(rng, state.step)}
@@ -663,7 +672,7 @@ def build_eval_step(
         # per-modality PSNR breakdown (multi-modal evaluation)
         from medvae_tpu.train.metrics import psnr as _psnr
 
-        onehot = jax.nn.one_hot(batch["modality_idx"], 12, dtype=jnp.float32)
+        onehot = jax.nn.one_hot(batch["modality_idx"], n_mod, dtype=jnp.float32)
         onehot = onehot * v[:, None]
         per_sample = _psnr(
             outputs["reconstruction"].astype(jnp.float32), x.astype(jnp.float32)

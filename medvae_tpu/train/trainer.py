@@ -341,21 +341,27 @@ class Trainer:
         feeder = self._feeder(split, shuffle=False, drop_last=False)
         acc: Dict[str, Any] = {}
         weight_total = 0.0
-        psnr_by_mod = np.zeros(12)
-        count_by_mod = np.zeros(12)
+        psnr_by_mod = count_by_mod = None  # sized from the eval step's output
         for batch in feeder.epoch(0):
             m = self.eval_step(self.state, batch, self.rng)
             w = float(jax.device_get(m.pop("val/_weight")))
-            psnr_by_mod += np.asarray(jax.device_get(m.pop("val/_psnr_by_mod")))
-            count_by_mod += np.asarray(jax.device_get(m.pop("val/_count_by_mod")))
+            p_mod = np.asarray(jax.device_get(m.pop("val/_psnr_by_mod")))
+            c_mod = np.asarray(jax.device_get(m.pop("val/_count_by_mod")))
+            if psnr_by_mod is None:
+                psnr_by_mod = np.zeros_like(p_mod)
+                count_by_mod = np.zeros_like(c_mod)
+            psnr_by_mod += p_mod
+            count_by_mod += c_mod
             weight_total += w
             for k, v in m.items():
                 acc[k] = acc.get(k, 0.0) + float(jax.device_get(v)) * w
         out = {k: v / max(weight_total, 1.0) for k, v in acc.items()}
         # per-modality PSNR for modalities present in the split
-        for mod in range(12):
+        for mod in range(0 if psnr_by_mod is None else len(psnr_by_mod)):
             if count_by_mod[mod] > 0:
-                out[f"val/psnr_{MODALITY_NAMES[mod]}"] = float(
+                name = (MODALITY_NAMES[mod] if mod < len(MODALITY_NAMES)
+                        else f"mod{mod}")
+                out[f"val/psnr_{name}"] = float(
                     psnr_by_mod[mod] / count_by_mod[mod]
                 )
         if split != "val":

@@ -33,6 +33,16 @@ class MetricLogger:
                 self._csv_fields = next(reader, []) or []
         self._t0 = time.time()
         self._wandb = None
+        # tfevents sink — the reference's primary observability artifact
+        # (lightning_logs/version_*/events.out.tfevents.*). Soft dependency:
+        # silently skipped when no tensorboard writer is importable.
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(self.dir, "tb"))
+        except Exception:
+            pass
 
         if config is not None:
             with open(os.path.join(self.dir, "hparams.yaml"), "w") as f:
@@ -61,6 +71,10 @@ class MetricLogger:
         self._jsonl.write(json.dumps(row) + "\n")
         self._jsonl.flush()
         self._append_csv(row)
+        if self._tb is not None:
+            for k, v in row.items():
+                if isinstance(v, (int, float)) and k not in ("step",):
+                    self._tb.add_scalar(k, v, step)
         if self._wandb is not None:
             self._wandb.log(row, step=step)
 
@@ -103,5 +117,7 @@ class MetricLogger:
 
     def close(self):
         self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
