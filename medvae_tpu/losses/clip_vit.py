@@ -50,9 +50,9 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + MHSA(self.width, self.heads, self.dtype, name="attn")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
@@ -96,10 +96,10 @@ class CLIPViT(nn.Module):
             jnp.float32,
         )
         h = h + pos.astype(h.dtype)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(h)
         for i in range(self.layers):
             h = Block(self.width, self.heads, self.dtype, name=f"block_{i}")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(h[:, 0])
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(h[:, 0])
         proj = self.param(
             "proj",
             nn.initializers.normal(self.width**-0.5),

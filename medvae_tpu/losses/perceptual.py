@@ -6,11 +6,14 @@ Parity targets:
     feature net from the `lpips` package; inputs scaled to [−1,1], gray→RGB.
     Here the LPIPS computation (per-layer unit-normalized feature diffs →
     1×1 "lin" heads → spatial mean → sum over layers) and the AlexNet conv
-    trunk are implemented natively in Flax. Pretrained torch weights are not
+    trunk are implemented natively in Flax, and the graph is pinned to the
+    lpips package's exact eval math by a torch oracle — value AND
+    d(loss)/d(recon) agree to ≤1e-5 with transplanted weights
+    (tests/test_perceptual_parity.py). Pretrained torch weights are not
     shippable in this environment (zero egress), so the trunk initializes from
     a fixed-seed random draw — frozen random deep features are a documented,
-    well-behaved perceptual metric — and `load_npz` can graft real exported
-    weights when available.
+    well-behaved perceptual metric — and `load_npz` grafts real exported
+    weights (scripts/export_torch_weights.py) onto the same tested graph.
   * BiomedCLIPLoss (reference :97-186): open-clip ViT-B-32 image tower with a
     SimpleCLIPEncoder CNN fallback (:189-211). The fallback CNN is implemented
     exactly (it is what the reference actually runs without open_clip);

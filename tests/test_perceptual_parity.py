@@ -342,3 +342,126 @@ def test_biomedclip_gradient_parity(clip_pair):
     )(jnp.asarray(rec.transpose(0, 2, 3, 1)))
     j_grad = np.asarray(j_grad).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(t_grad, j_grad, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Torch oracle: the CLIP ViT-B/32 image tower (the reference's PRIMARY path,
+# open_clip create_model_and_transforms("ViT-B-32"), vae_losses.py:107-113).
+# Oracle re-creates open_clip's VisionTransformer eval math with torch
+# primitives (nn.MultiheadAttention pre-LN blocks, erf-GELU as in open_clip's
+# ViT-B-32 config), random weights transplanted into CLIPViT.
+# ---------------------------------------------------------------------------
+
+
+class _TorchViTBlock(tnn.Module):
+    def __init__(self, d, h):
+        super().__init__()
+        self.ln1 = tnn.LayerNorm(d)
+        self.attn = tnn.MultiheadAttention(d, h, batch_first=True)
+        self.ln2 = tnn.LayerNorm(d)
+        self.fc = tnn.Linear(d, 4 * d)
+        self.proj = tnn.Linear(4 * d, d)
+
+    def forward(self, x):
+        h = self.ln1(x)
+        x = x + self.attn(h, h, h, need_weights=False)[0]
+        h = self.ln2(x)
+        return x + self.proj(torch.nn.functional.gelu(self.fc(h)))
+
+
+class _TorchCLIPViT(tnn.Module):
+    def __init__(self, patch=32, width=768, layers=12, heads=12, embed=512):
+        super().__init__()
+        self.conv = tnn.Conv2d(3, width, patch, stride=patch, bias=False)
+        self.cls = tnn.Parameter(torch.randn(width) * 0.02)
+        self.pos = tnn.Parameter(torch.randn(50, width) * 0.02)
+        self.ln_pre = tnn.LayerNorm(width)
+        self.blocks = tnn.ModuleList(
+            [_TorchViTBlock(width, heads) for _ in range(layers)]
+        )
+        self.ln_post = tnn.LayerNorm(width)
+        self.proj = tnn.Parameter(torch.randn(width, embed) * width**-0.5)
+
+    def forward(self, x):
+        h = self.conv(x)  # (b, w, 7, 7)
+        b, w = h.shape[:2]
+        h = h.reshape(b, w, -1).permute(0, 2, 1)  # (b, 49, w)
+        h = torch.cat([self.cls.expand(b, 1, -1), h], dim=1) + self.pos
+        h = self.ln_pre(h)
+        for blk in self.blocks:
+            h = blk(h)
+        return self.ln_post(h[:, 0]) @ self.proj
+
+
+def _transplant_vit(t: _TorchCLIPViT, jparams):
+    flat = dict(flax.traverse_util.flatten_dict(jparams, sep="/"))
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    flat["params/patch_embed/kernel"] = jnp.asarray(
+        sd["conv.weight"].transpose(2, 3, 1, 0)
+    )
+    flat["params/class_embedding"] = jnp.asarray(sd["cls"])
+    flat["params/positional_embedding"] = jnp.asarray(sd["pos"])
+    flat["params/proj"] = jnp.asarray(sd["proj"])
+    for ln_t, ln_j in (("ln_pre", "ln_pre"), ("ln_post", "ln_post")):
+        flat[f"params/{ln_j}/scale"] = jnp.asarray(sd[f"{ln_t}.weight"])
+        flat[f"params/{ln_j}/bias"] = jnp.asarray(sd[f"{ln_t}.bias"])
+    for i in range(len(t.blocks)):
+        p = f"params/block_{i}"
+        b = f"blocks.{i}"
+        for ln in ("ln1", "ln2"):
+            flat[f"{p}/{ln}/scale"] = jnp.asarray(sd[f"{b}.{ln}.weight"])
+            flat[f"{p}/{ln}/bias"] = jnp.asarray(sd[f"{b}.{ln}.bias"])
+        # torch in_proj packs rows [q; k; v]; flax qkv Dense expects (d, 3d)
+        # columns in the same q|k|v order (reshape (..., 3, h, hd) splits the
+        # OUTER factor into q/k/v)
+        flat[f"{p}/attn/qkv/kernel"] = jnp.asarray(
+            sd[f"{b}.attn.in_proj_weight"].T
+        )
+        flat[f"{p}/attn/qkv/bias"] = jnp.asarray(sd[f"{b}.attn.in_proj_bias"])
+        flat[f"{p}/attn/proj/kernel"] = jnp.asarray(
+            sd[f"{b}.attn.out_proj.weight"].T
+        )
+        flat[f"{p}/attn/proj/bias"] = jnp.asarray(sd[f"{b}.attn.out_proj.bias"])
+        flat[f"{p}/mlp_fc/kernel"] = jnp.asarray(sd[f"{b}.fc.weight"].T)
+        flat[f"{p}/mlp_fc/bias"] = jnp.asarray(sd[f"{b}.fc.bias"])
+        flat[f"{p}/mlp_proj/kernel"] = jnp.asarray(sd[f"{b}.proj.weight"].T)
+        flat[f"{p}/mlp_proj/bias"] = jnp.asarray(sd[f"{b}.proj.bias"])
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
+def test_clip_vit_tower_parity():
+    from medvae_tpu.losses.clip_vit import CLIPViT
+
+    torch.manual_seed(2)
+    # 4 layers is enough to pin every weight mapping + block math while
+    # keeping CPU runtime small; the full tower is the same block repeated
+    tvit = _TorchCLIPViT(layers=4).eval()
+    jvit = CLIPViT(layers=4)
+    jparams = _transplant_vit(
+        tvit, jvit.init(jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3)))
+    )
+    rs = np.random.RandomState(8)
+    x = rs.randn(2, 3, 224, 224).astype(np.float32) * 0.5
+    with torch.no_grad():
+        t_emb = tvit(torch.from_numpy(x)).numpy()
+    j_emb = np.asarray(
+        jvit.apply(jparams, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(t_emb, j_emb, atol=5e-4, rtol=1e-4)
+
+
+def test_biomedclip_vit_loss_runs():
+    """BiomedCLIPLoss(encoder='vit') end-to-end: finite, positive, and
+    differentiable w.r.t. the reconstruction."""
+    loss = BiomedCLIPLoss(encoder="vit")
+    # tiny tower for speed
+    from medvae_tpu.losses.clip_vit import CLIPViT
+
+    loss.module = CLIPViT(layers=2, width=64, heads=4, embed_dim=32)
+    params = loss.init(jax.random.PRNGKey(4))
+    rs = np.random.RandomState(9)
+    img = jnp.asarray(rs.rand(2, 28, 28, 1).astype(np.float32) * 2 - 1)
+    rec = jnp.asarray(rs.rand(2, 28, 28, 1).astype(np.float32) * 2 - 1)
+    v, g = jax.value_and_grad(lambda r: loss(params, img, r))(rec)
+    assert np.isfinite(float(v)) and float(v) > 0
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
