@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
+from medvae_tpu import native
 from medvae_tpu.core.mesh import data_sharding
 from medvae_tpu.data.medmnist import (
     CHANNELS_BY_MODALITY_INDEX,
@@ -63,17 +64,27 @@ class DeviceFeeder:
 
     def _gather(self, idx: np.ndarray, valid: np.ndarray) -> Dict[str, np.ndarray]:
         a = self.arrays
-        onehot = np.zeros((len(idx), len(MODALITY_NAMES)), np.float32)
-        onehot[np.arange(len(idx)), a.modality_idx[idx]] = 1.0
-        return {
-            "image_u8": a.images[idx],
-            "label": a.labels[idx],
-            "modality_onehot": onehot,
-            "modality_idx": a.modality_idx[idx],
-            # natural channel count per sample, for on-device channel masking
-            "channels": CHANNELS_BY_MODALITY_INDEX[a.modality_idx[idx]],
-            "valid": valid.astype(np.float32),
-        }
+        # native (C++) fused batch assembly when available: image-row gather +
+        # one-hot + channel lookup in one pass (medvae_tpu/native). Falls back
+        # to the numpy path transparently; both produce identical batches
+        # (tests/test_native.py).
+        batch = native.assemble_batch(
+            a.images, a.labels, a.modality_idx, idx,
+            CHANNELS_BY_MODALITY_INDEX, len(MODALITY_NAMES),
+        )
+        if batch is None:
+            onehot = np.zeros((len(idx), len(MODALITY_NAMES)), np.float32)
+            onehot[np.arange(len(idx)), a.modality_idx[idx]] = 1.0
+            batch = {
+                "image_u8": a.images[idx],
+                "label": a.labels[idx],
+                "modality_onehot": onehot,
+                "modality_idx": a.modality_idx[idx],
+                # natural channel count per sample, for on-device masking
+                "channels": CHANNELS_BY_MODALITY_INDEX[a.modality_idx[idx]],
+            }
+        batch["valid"] = valid.astype(np.float32)
+        return batch
 
     def _put(self, batch: Dict[str, np.ndarray]):
         if jax.process_count() > 1:
