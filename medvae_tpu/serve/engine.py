@@ -1,0 +1,345 @@
+"""Batched inference engine — the serving-side runtime of the framework.
+
+The reference has no serving story (its closest surfaces are the one-shot
+`generate.py` / `evaluate.py` scripts, reference generate.py:18-142); this
+module is the production-deployment counterpart the TPU build adds:
+
+  * **static-shape bucketing** — requests of any size are padded up to a
+    fixed set of batch buckets so XLA compiles a handful of programs once
+    and every request hits a cached executable (no recompiles, the TPU
+    serving discipline).
+  * **deterministic inference** — reconstruction/encode use the posterior
+    mean (no reparameterization draw), the standard serving semantics for
+    a VAE; sampling takes an explicit seed.
+  * **model-family dispatch** — Base/Beta (unconditional), ConditionalVAE
+    (one-hot condition), DisentangledConditionalVAE (modality-index routed
+    heads), mirroring the train-side dispatch (train/step.py:make_forward_fn).
+  * **micro-batching** — `MicroBatcher` coalesces concurrent single-image
+    requests into one device batch (latency bound + size bound), the usual
+    TPU serving frontend.
+
+Input contract: images are NHWC uint8 (or float already in [-1, 1]); uint8
+is normalized exactly as training does (x/255 * 2 - 1, data/pipeline.py).
+Outputs are float32 in [-1, 1]; `to_uint8` converts for transport.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medvae_tpu.data.medmnist import MODALITY_NAMES, modality_index
+from medvae_tpu.models import ConditionalVAE, DisentangledConditionalVAE
+
+DEFAULT_BUCKETS = (1, 8, 32, 128)
+
+
+def to_uint8(x: np.ndarray) -> np.ndarray:
+    """[-1, 1] float -> uint8 [0, 255] (transport encoding)."""
+    return np.clip((np.asarray(x, np.float32) + 1.0) * 127.5, 0, 255).astype(
+        np.uint8
+    )
+
+
+class InferenceEngine:
+    """Shape-bucketed, jit-cached inference over a trained VAE.
+
+    Every public method accepts arbitrary request sizes; internally the
+    batch is chunked to the largest bucket and the tail padded up to the
+    smallest covering bucket, so only len(buckets) executables exist per
+    method. `warmup()` precompiles them all ahead of traffic.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets or self.buckets[0] < 1:
+            raise ValueError(f"invalid buckets: {buckets}")
+        self._rng = jax.random.PRNGKey(seed)
+        self._rng_lock = threading.Lock()
+        self._is_disentangled = isinstance(model, DisentangledConditionalVAE)
+        self._is_conditional = isinstance(model, ConditionalVAE)
+
+        variables = {"params": params}
+        m = model
+
+        # --- jitted graphs (weights donated to the cache via closure) -----
+        @jax.jit
+        def _encode(x, midx, onehot):
+            if self._is_disentangled:
+                mean, logvar = m.apply(variables, x, midx, method=m.encode)
+            elif self._is_conditional:
+                mean, logvar = m.apply(variables, x, onehot, method=m.encode)
+            else:
+                mean, logvar = m.apply(variables, x, method=m.encode)
+            return mean.astype(jnp.float32), logvar.astype(jnp.float32)
+
+        @jax.jit
+        def _decode(z, midx):
+            z = z.astype(m.dtype)
+            if self._is_disentangled:
+                out = m.apply(variables, z, midx, method=m.decode)
+            else:
+                out = m.apply(variables, z, method=m.decode)
+            return out.astype(jnp.float32)
+
+        @jax.jit
+        def _reconstruct(x, midx, onehot):
+            mean, _ = _encode(x, midx, onehot)
+            return _decode(mean, midx)
+
+        def _sample(n: int, midx, onehot, key):
+            if self._is_disentangled:
+                return m.apply(
+                    variables, n, midx, key, method=m.sample_conditional
+                ).astype(jnp.float32)
+            if self._is_conditional:
+                return m.apply(
+                    variables, n, onehot, key, method=m.conditional_sample
+                ).astype(jnp.float32)
+            return m.apply(variables, n, key, method=m.sample).astype(
+                jnp.float32
+            )
+
+        self._encode_fn = _encode
+        self._decode_fn = _decode
+        self._reconstruct_fn = _reconstruct
+        self._sample_fn = jax.jit(_sample, static_argnums=0)
+
+    # ------------------------------------------------------------------ #
+    # construction                                                        #
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_path: str,
+        config_path: Optional[str] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ) -> "InferenceEngine":
+        from medvae_tpu.cli.common import load_model_and_params
+
+        model, params, _ = load_model_and_params(ckpt_path, config_path)
+        return cls(model, params, buckets=buckets)
+
+    # ------------------------------------------------------------------ #
+    # request plumbing                                                    #
+    # ------------------------------------------------------------------ #
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _chunks(self, n: int):
+        """Yield (start, length, bucket) covering n requests."""
+        big = self.buckets[-1]
+        lo = 0
+        while n - lo > big:
+            yield lo, big, big
+            lo += big
+        if n - lo > 0:
+            yield lo, n - lo, self._bucket_for(n - lo)
+
+    def _norm_images(self, images: np.ndarray) -> np.ndarray:
+        x = np.asarray(images)
+        if x.ndim == 3:
+            x = x[None]
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return np.asarray(x, np.float32)
+
+    def _modality_arrays(
+        self, modality, n: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(modality_idx int32 (n,), onehot float32 (n, 12))."""
+        if modality is None:
+            midx = np.zeros((n,), np.int32)
+        elif isinstance(modality, str):
+            midx = np.full((n,), modality_index(modality), np.int32)
+        else:
+            midx = np.asarray(modality, np.int32).reshape(-1)
+            if midx.shape[0] == 1 and n > 1:
+                midx = np.full((n,), midx[0], np.int32)
+        if midx.shape[0] != n:
+            raise ValueError(f"modality length {midx.shape[0]} != batch {n}")
+        onehot = np.zeros((n, len(MODALITY_NAMES)), np.float32)
+        onehot[np.arange(n), np.clip(midx, 0, len(MODALITY_NAMES) - 1)] = 1.0
+        return midx, onehot
+
+    def _pad(self, a: np.ndarray, bucket: int) -> np.ndarray:
+        if a.shape[0] == bucket:
+            return a
+        pad = np.zeros((bucket - a.shape[0],) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    def _next_key(self):
+        with self._rng_lock:
+            self._rng, key = jax.random.split(self._rng)
+        return key
+
+    # ------------------------------------------------------------------ #
+    # public API                                                          #
+    # ------------------------------------------------------------------ #
+
+    def reconstruct(self, images, modality=None) -> np.ndarray:
+        """Deterministic reconstruction (posterior-mean decode)."""
+        x = self._norm_images(images)
+        n = x.shape[0]
+        midx, onehot = self._modality_arrays(modality, n)
+        outs = []
+        for lo, ln, b in self._chunks(n):
+            r = self._reconstruct_fn(
+                self._pad(x[lo : lo + ln], b),
+                self._pad(midx[lo : lo + ln], b),
+                self._pad(onehot[lo : lo + ln], b),
+            )
+            outs.append(np.asarray(jax.device_get(r))[:ln])
+        return np.concatenate(outs, axis=0)
+
+    def encode(self, images, modality=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Posterior (mean, logvar), flattened per-sample."""
+        x = self._norm_images(images)
+        n = x.shape[0]
+        midx, onehot = self._modality_arrays(modality, n)
+        means, logvars = [], []
+        for lo, ln, b in self._chunks(n):
+            mean, logvar = self._encode_fn(
+                self._pad(x[lo : lo + ln], b),
+                self._pad(midx[lo : lo + ln], b),
+                self._pad(onehot[lo : lo + ln], b),
+            )
+            means.append(np.asarray(jax.device_get(mean))[:ln])
+            logvars.append(np.asarray(jax.device_get(logvar))[:ln])
+        return np.concatenate(means), np.concatenate(logvars)
+
+    def decode(self, z, modality=None) -> np.ndarray:
+        z = np.asarray(z, np.float32)
+        n = z.shape[0]
+        midx, _ = self._modality_arrays(modality, n)
+        outs = []
+        for lo, ln, b in self._chunks(n):
+            r = self._decode_fn(
+                self._pad(z[lo : lo + ln], b), self._pad(midx[lo : lo + ln], b)
+            )
+            outs.append(np.asarray(jax.device_get(r))[:ln])
+        return np.concatenate(outs, axis=0)
+
+    def sample(self, num_samples: int, modality=None, seed=None) -> np.ndarray:
+        """Prior samples; seeded explicitly or from the engine stream."""
+        n = int(num_samples)
+        midx, onehot = self._modality_arrays(modality, n)
+        key = (
+            jax.random.PRNGKey(int(seed)) if seed is not None else self._next_key()
+        )
+        outs = []
+        for i, (lo, ln, b) in enumerate(self._chunks(n)):
+            r = self._sample_fn(
+                b,
+                self._pad(midx[lo : lo + ln], b),
+                self._pad(onehot[lo : lo + ln], b),
+                jax.random.fold_in(key, i),
+            )
+            outs.append(np.asarray(jax.device_get(r))[:ln])
+        return np.concatenate(outs, axis=0)
+
+    def warmup(self) -> int:
+        """Precompile every (method, bucket) executable; returns count."""
+        res = int(self.model.resolution)
+        c = int(getattr(self.model, "max_channels", 0) or self.model.input_channels)
+        n_compiled = 0
+        for b in self.buckets:
+            x = np.zeros((b, res, res, c), np.uint8)
+            self.reconstruct(x)
+            self.sample(b, seed=0)
+            n_compiled += 2
+        return n_compiled
+
+    def info(self) -> Dict[str, Any]:
+        m = self.model
+        return {
+            "model": type(m).__name__,
+            "resolution": int(m.resolution),
+            "latent_dim": int(getattr(m, "latent_dim", 0))
+            or int(getattr(m, "total_latent_dim", 0)),
+            "buckets": list(self.buckets),
+            "modalities": (
+                list(MODALITY_NAMES[: m.num_modalities])
+                if self._is_disentangled
+                else list(MODALITY_NAMES)
+            ),
+            "conditional": self._is_conditional or self._is_disentangled,
+        }
+
+
+class MicroBatcher:
+    """Coalesces concurrent reconstruct requests into device batches.
+
+    submit() returns a Future; a background thread flushes the queue when
+    `max_batch` requests are pending or `max_delay_ms` has elapsed since the
+    first queued request — the standard latency/throughput serving knob.
+    """
+
+    def __init__(self, engine: InferenceEngine, max_batch: int = 32,
+                 max_delay_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_delay = float(max_delay_ms) / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, modality=None) -> Future:
+        fut: Future = Future()
+        self._q.put((np.asarray(image), modality, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            import time as _time
+
+            deadline = _time.monotonic() + self.max_delay
+            while len(batch) < self.max_batch:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            imgs = np.stack([b[0] for b in batch])
+            mods = [
+                b[1] if b[1] is not None else 0 for b in batch
+            ]
+            try:
+                out = self.engine.reconstruct(imgs, modality=np.asarray(mods))
+                for i, (_, _, fut) in enumerate(batch):
+                    fut.set_result(out[i])
+            except Exception as e:  # pragma: no cover - surfaced to callers
+                for _, _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -1,0 +1,223 @@
+"""Serving subsystem: engine bucketing/dispatch, micro-batcher, AOT export,
+HTTP front end.
+
+The engine's contract: any request size in, exactly that many results out,
+numerically identical to a direct posterior-mean model.apply — bucketing and
+padding must be invisible. Export round-trips through jax.export without the
+model's Python class. The HTTP server is exercised end-to-end on localhost.
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medvae_tpu.models import BaseVAE, ConditionalVAE, DisentangledConditionalVAE
+from medvae_tpu.serve import (
+    InferenceEngine,
+    MicroBatcher,
+    export_model,
+    load_exported,
+    to_uint8,
+)
+
+TINY = dict(
+    latent_dim=4,
+    hidden_channels=8,
+    ch_mult=(1, 2),
+    num_res_blocks=1,
+    attn_resolutions=(),
+    dropout=0.0,
+    resolution=16,
+)
+
+
+def _base_engine(buckets=(2, 4)):
+    model = BaseVAE(input_channels=3, **TINY)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+    )
+    return model, variables["params"], InferenceEngine(
+        model, variables["params"], buckets=buckets
+    )
+
+
+def _dis_engine(buckets=(2, 4)):
+    model = DisentangledConditionalVAE(
+        num_modalities=5, shared_latent_dim=4, modality_latent_dim=4,
+        hidden_channels=8, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), resolution=16,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    return model, variables["params"], InferenceEngine(
+        model, variables["params"], buckets=buckets
+    )
+
+
+def test_reconstruct_matches_direct_apply_and_padding_invisible():
+    model, params, eng = _base_engine(buckets=(2, 4))
+    rs = np.random.RandomState(0)
+    x_u8 = rs.randint(0, 255, (3, 16, 16, 3), np.uint8)  # 3 -> pads to 4
+    got = eng.reconstruct(x_u8)
+    assert got.shape == (3, 16, 16, 3)
+
+    x = x_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+    mean, _ = model.apply({"params": params}, jnp.asarray(x), method=model.encode)
+    want = model.apply(
+        {"params": params}, mean.astype(model.dtype), method=model.decode
+    )
+    np.testing.assert_allclose(got, np.asarray(want, np.float32), atol=1e-5)
+
+
+def test_chunking_covers_requests_larger_than_biggest_bucket():
+    _, _, eng = _base_engine(buckets=(2, 4))
+    x = np.zeros((11, 16, 16, 3), np.uint8)  # 4 + 4 + 3(pad to 4)
+    out = eng.reconstruct(x)
+    assert out.shape[0] == 11
+    chunks = list(eng._chunks(11))
+    assert chunks == [(0, 4, 4), (4, 4, 4), (8, 3, 4)]
+
+
+def test_encode_decode_roundtrip_disentangled_modality_routing():
+    model, params, eng = _dis_engine()
+    rs = np.random.RandomState(1)
+    x = rs.randint(0, 255, (4, 16, 16, 3), np.uint8)
+    midx = np.array([0, 1, 2, 3], np.int32)
+    mean, logvar = eng.encode(x, modality=midx)
+    assert mean.shape[0] == 4 and logvar.shape == mean.shape
+    rec = eng.decode(mean, modality=midx)
+    assert rec.shape == (4, 16, 16, 3)
+    # engine reconstruct == encode-then-decode (posterior mean path)
+    np.testing.assert_allclose(
+        eng.reconstruct(x, modality=midx), rec, atol=1e-5
+    )
+    # modality routing is live: a different modality changes the output
+    rec_other = eng.decode(mean, modality=np.array([4, 4, 4, 4], np.int32))
+    assert np.abs(rec - rec_other).max() > 1e-6
+
+
+def test_sample_shapes_and_seed_determinism():
+    _, _, eng = _dis_engine()
+    a = eng.sample(3, modality="octmnist", seed=7)
+    b = eng.sample(3, modality="octmnist", seed=7)
+    c = eng.sample(3, modality="octmnist", seed=8)
+    assert a.shape == (3, 16, 16, 3)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6
+
+
+def test_modality_string_and_scalar_broadcast():
+    _, _, eng = _dis_engine()
+    x = np.zeros((2, 16, 16, 3), np.uint8)
+    by_name = eng.reconstruct(x, modality="pathmnist")
+    by_idx = eng.reconstruct(x, modality=np.array([1], np.int32))
+    np.testing.assert_allclose(by_name, by_idx, atol=0)
+
+
+def test_to_uint8_range():
+    x = np.array([-1.0, 0.0, 1.0, 2.0, -2.0], np.float32)
+    out = to_uint8(x)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, [0, 127, 255, 255, 0])
+
+
+def test_warmup_and_info():
+    _, _, eng = _base_engine(buckets=(1, 2))
+    assert eng.warmup() == 4  # 2 buckets x (reconstruct, sample)
+    info = eng.info()
+    assert info["model"] == "BaseVAE"
+    assert info["resolution"] == 16
+    assert info["buckets"] == [1, 2]
+
+
+def test_microbatcher_coalesces_and_matches_engine():
+    _, _, eng = _dis_engine(buckets=(1, 2, 4))
+    mb = MicroBatcher(eng, max_batch=4, max_delay_ms=30.0)
+    try:
+        rs = np.random.RandomState(2)
+        imgs = rs.randint(0, 255, (4, 16, 16, 3), np.uint8)
+        futs = [mb.submit(imgs[i], modality=i % 5) for i in range(4)]
+        got = np.stack([f.result(timeout=30) for f in futs])
+        want = eng.reconstruct(imgs, modality=np.arange(4, dtype=np.int32) % 5)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    finally:
+        mb.close()
+
+
+def test_export_roundtrip_matches_engine(tmp_path):
+    model, params, eng = _dis_engine(buckets=(4,))
+    meta = export_model(model, params, str(tmp_path / "art"), batch_size=4)
+    assert meta["model"] == "DisentangledConditionalVAE"
+    art = load_exported(str(tmp_path / "art"))
+
+    rs = np.random.RandomState(3)
+    x = rs.randint(0, 255, (4, 16, 16, 3), np.uint8)
+    midx = np.array([0, 1, 2, 3], np.int32)
+    got = art["reconstruct"](x, midx)
+    want = eng.reconstruct(x, modality=midx)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    r, r2, zdim = meta["latent_shape"]
+    noise = rs.randn(4, r, r2, zdim).astype(np.float32)
+    s = art["sample"](noise, midx)
+    assert s.shape == (4, 16, 16, 3)
+
+
+def test_http_server_end_to_end():
+    from medvae_tpu.cli.serve import _np_to_b64, _b64_to_np, serve
+
+    _, _, eng = _dis_engine(buckets=(2, 4))
+    httpd = serve(eng, host="127.0.0.1", port=0, warmup=False)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        with urllib.request.urlopen(f"{base}/info", timeout=30) as r:
+            info = json.load(r)
+        assert info["model"] == "DisentangledConditionalVAE"
+
+        rs = np.random.RandomState(4)
+        imgs = rs.randint(0, 255, (3, 16, 16, 3), np.uint8)
+        payload = json.dumps(
+            {"images_b64": _np_to_b64(imgs), "modality": [0, 1, 2]}
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/reconstruct", payload,
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _b64_to_np(json.load(r)["images_b64"])
+        want = eng.reconstruct(imgs, modality=np.array([0, 1, 2], np.int32))
+        np.testing.assert_allclose(out, want, atol=1e-5)
+
+        req = urllib.request.Request(
+            f"{base}/sample",
+            json.dumps({"num_samples": 2, "modality": 1, "seed": 5}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _b64_to_np(json.load(r)["images_b64"])
+        assert out.shape == (2, 16, 16, 3)
+
+        # malformed request -> 400 with an error body, server stays up
+        req = urllib.request.Request(
+            f"{base}/reconstruct", b"{}", {"Content-Type": "application/json"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
