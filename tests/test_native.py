@@ -114,6 +114,28 @@ def test_feeder_batches_identical_native_vs_fallback(monkeypatch):
             np.testing.assert_array_equal(nb[k], fb[k], err_msg=k)
 
 
+def test_threaded_gather_matches_single_thread(monkeypatch):
+    """Force the multi-thread shard path (1-core hosts never take it
+    organically: run_sharded requires n_threads>1) and pin exactness."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rs = np.random.RandomState(7)
+    src = rs.randint(0, 255, (512, 9, 9, 3), np.uint8)
+    idx = rs.permutation(512)[:300]
+    monkeypatch.setenv("MEDVAE_NATIVE_THREADS", "4")
+    out = native.gather_rows(src, idx)
+    np.testing.assert_array_equal(out, src[idx])
+    a = _arrays(n=256, size=6, seed=8)
+    got = native.assemble_batch(
+        a.images, a.labels, a.modality_idx, np.arange(256)[::-1],
+        CHANNELS_BY_MODALITY_INDEX, len(MODALITY_NAMES),
+    )
+    np.testing.assert_array_equal(got["image_u8"], a.images[np.arange(256)[::-1]])
+    np.testing.assert_array_equal(
+        got["modality_idx"], a.modality_idx[np.arange(256)[::-1]]
+    )
+
+
 def test_env_gate_disables_native(monkeypatch):
     """MEDVAE_NATIVE=0 must yield the numpy fallback (assemble -> None)."""
     import importlib
