@@ -49,17 +49,10 @@ def main(argv=None) -> int:
     variables = {"params": params}
     datamodule = instantiate(cfg["data"])
     datamodule.setup(None)
-    synth = getattr(datamodule, "synthetic_datasets", set())
-    if synth:
-        names = sorted({d for d, _ in synth})
-        print(
-            "=" * 72
-            + "\n!! SYNTHETIC DATA: no MedMNIST npz found for "
-            + ", ".join(names)
-            + " — evaluating on the synthetic generator. Metrics are NOT"
-              " comparable to real-MedMNIST results.\n"
-            + "=" * 72
-        )
+    banner_fn = getattr(datamodule, "synthetic_banner", None)
+    banner = banner_fn("evaluating") if banner_fn else None
+    if banner:
+        print(banner)
     mesh = create_mesh()
     os.makedirs(args.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)

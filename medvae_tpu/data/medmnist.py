@@ -301,6 +301,23 @@ class MedMNISTDataModule:
         # results are never mistaken for real-MedMNIST results
         self.synthetic_datasets: set = set()
 
+    def synthetic_banner(self, verb: str = "training") -> Optional[str]:
+        """Loud banner when any split fell back to the synthetic generator
+        (None otherwise). One source of truth for the trainer and the
+        evaluate CLI so the warning wording can't drift."""
+        if not self.synthetic_datasets:
+            return None
+        names = sorted({d for d, _ in self.synthetic_datasets})
+        return (
+            "=" * 72
+            + "\n!! SYNTHETIC DATA: no MedMNIST npz found for "
+            + ", ".join(names)
+            + f" under '{self.root}' — {verb} on the structured synthetic"
+              " generator. Metrics are NOT comparable to real-MedMNIST"
+              " results.\n"
+            + "=" * 72
+        )
+
     def setup(self, stage: Optional[str] = None) -> None:
         wanted: List[str] = []
         if stage in ("fit", None):

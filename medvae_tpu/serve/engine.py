@@ -163,10 +163,19 @@ class InferenceEngine:
             x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
         return np.asarray(x, np.float32)
 
+    @property
+    def _cond_width(self) -> int:
+        """One-hot width the model's condition head was built for (cond_dim
+        for ConditionalVAE — it may differ from 12; 12 otherwise, unused by
+        the non-conditional paths)."""
+        if self._is_conditional and not self._is_disentangled:
+            return int(getattr(self.model, "cond_dim", len(MODALITY_NAMES)))
+        return len(MODALITY_NAMES)
+
     def _modality_arrays(
         self, modality, n: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(modality_idx int32 (n,), onehot float32 (n, 12))."""
+        """(modality_idx int32 (n,), onehot float32 (n, cond_width))."""
         if modality is None:
             midx = np.zeros((n,), np.int32)
         elif isinstance(modality, str):
@@ -177,8 +186,9 @@ class InferenceEngine:
                 midx = np.full((n,), midx[0], np.int32)
         if midx.shape[0] != n:
             raise ValueError(f"modality length {midx.shape[0]} != batch {n}")
-        onehot = np.zeros((n, len(MODALITY_NAMES)), np.float32)
-        onehot[np.arange(n), np.clip(midx, 0, len(MODALITY_NAMES) - 1)] = 1.0
+        w = self._cond_width
+        onehot = np.zeros((n, w), np.float32)
+        onehot[np.arange(n), np.clip(midx, 0, w - 1)] = 1.0
         return midx, onehot
 
     def _pad(self, a: np.ndarray, bucket: int) -> np.ndarray:
@@ -258,15 +268,21 @@ class InferenceEngine:
         return np.concatenate(outs, axis=0)
 
     def warmup(self) -> int:
-        """Precompile every (method, bucket) executable; returns count."""
+        """Precompile every (method, bucket) executable; returns count.
+
+        reconstruct/encode/decode/sample each compile their own executable
+        per bucket (reconstruct's fused graph does not serve standalone
+        encode/decode requests), so all four are driven here."""
         res = int(self.model.resolution)
         c = int(getattr(self.model, "max_channels", 0) or self.model.input_channels)
         n_compiled = 0
         for b in self.buckets:
             x = np.zeros((b, res, res, c), np.uint8)
             self.reconstruct(x)
+            mean, _ = self.encode(x)
+            self.decode(mean)
             self.sample(b, seed=0)
-            n_compiled += 2
+            n_compiled += 4
         return n_compiled
 
     def info(self) -> Dict[str, Any]:
@@ -274,8 +290,10 @@ class InferenceEngine:
         return {
             "model": type(m).__name__,
             "resolution": int(m.resolution),
-            "latent_dim": int(getattr(m, "latent_dim", 0))
-            or int(getattr(m, "total_latent_dim", 0)),
+            # total_latent_dim first: the disentangled model inherits (and
+            # ignores) BaseVAE.latent_dim, its real latent is shared+modality
+            "latent_dim": int(getattr(m, "total_latent_dim", 0))
+            or int(getattr(m, "latent_dim", 0)),
             "buckets": list(self.buckets),
             "modalities": (
                 list(MODALITY_NAMES[: m.num_modalities])
@@ -305,6 +323,8 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, image: np.ndarray, modality=None) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
         self._q.put((np.asarray(image), modality, fut))
         return fut
@@ -312,6 +332,25 @@ class MicroBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail anything still queued so no caller hangs on fut.result()
+        while True:
+            try:
+                _, _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("MicroBatcher closed"))
+
+    @staticmethod
+    def _to_index(modality) -> int:
+        """Accept the same per-request modality forms engine methods do."""
+        if modality is None:
+            return 0
+        if isinstance(modality, str):
+            from medvae_tpu.data.medmnist import modality_index
+
+            return modality_index(modality)
+        return int(np.asarray(modality).reshape(-1)[0])
 
     def _loop(self):
         while not self._stop.is_set():
@@ -331,15 +370,18 @@ class MicroBatcher:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            imgs = np.stack([b[0] for b in batch])
-            mods = [
-                b[1] if b[1] is not None else 0 for b in batch
-            ]
+            # everything below is fallible (ragged shapes, bad modality
+            # names): any error must land on the futures, never kill the
+            # batcher thread
             try:
-                out = self.engine.reconstruct(imgs, modality=np.asarray(mods))
+                mods = np.asarray(
+                    [self._to_index(b[1]) for b in batch], np.int32
+                )
+                imgs = np.stack([b[0] for b in batch])
+                out = self.engine.reconstruct(imgs, modality=mods)
                 for i, (_, _, fut) in enumerate(batch):
                     fut.set_result(out[i])
-            except Exception as e:  # pragma: no cover - surfaced to callers
+            except Exception as e:
                 for _, _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)

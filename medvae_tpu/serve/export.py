@@ -58,7 +58,10 @@ def export_model(model, params, out_dir: str, batch_size: int = 8) -> Dict[str, 
                 variables, mean.astype(model.dtype), midx, method=model.decode
             )
         elif is_cond:
-            onehot = jax.nn.one_hot(midx, 12, dtype=model.dtype)
+            # width the condition head was built for (may differ from 12)
+            onehot = jax.nn.one_hot(
+                midx, int(getattr(model, "cond_dim", 12)), dtype=model.dtype
+            )
             mean, _ = model.apply(variables, x, onehot, method=model.encode)
             out = model.apply(
                 variables, mean.astype(model.dtype), method=model.decode
@@ -116,7 +119,9 @@ def load_exported(out_dir: str) -> Dict[str, Any]:
     def _load(name: str) -> Callable:
         with open(os.path.join(out_dir, name), "rb") as f:
             exp = jax_export.deserialize(f.read())
-        return lambda *args: np.asarray(jax.jit(exp.call)(*args))
+        # one jit wrapper per artifact: compiled once, cached across calls
+        fn = jax.jit(exp.call)
+        return lambda *args: np.asarray(fn(*args))
 
     return {
         "reconstruct": _load("reconstruct.jaxexp"),

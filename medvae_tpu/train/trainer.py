@@ -427,6 +427,13 @@ class Trainer:
                         last_val = self.validate()
                         self.logger.log(last_val, step)
 
+                # media cadence is independent of the validation cadence:
+                # check_val_every_n_epoch=5 with log_images_every_n_epochs=10
+                # must still produce grids (epoch%10==0 never aligns with the
+                # (epoch+1)%5 validation epochs)
+                if media_every and epoch % media_every == 0:
+                    self._log_media(epoch, (epoch + 1) * self.steps_per_epoch)
+
                 if (epoch + 1) % check_every == 0:
                     last_val = self.validate()
                     self._check_monitors(last_val)
@@ -439,8 +446,6 @@ class Trainer:
                         f"psnr {last_val.get('val/psnr', float('nan')):.2f}"
                     )
                     self.ckpt.save_step(self.state, last_val)
-                    if media_every and epoch % media_every == 0:
-                        self._log_media(epoch, step)
                     self._maybe_reduce_lr(last_val)
                     if self.early_stopping and self.early_stopping.update(last_val):
                         print(f"Early stopping at epoch {epoch}")
@@ -459,18 +464,10 @@ class Trainer:
         return last_val
 
     def _warn_if_synthetic(self) -> None:
-        synth = getattr(self.datamodule, "synthetic_datasets", set())
-        if synth:
-            names = sorted({d for d, _ in synth})
-            print(
-                "=" * 72
-                + "\n!! SYNTHETIC DATA: no MedMNIST npz found for "
-                + ", ".join(names)
-                + f" under '{getattr(self.datamodule, 'root', '?')}' — training"
-                  " on the structured synthetic generator. Metrics are NOT"
-                  " comparable to real-MedMNIST results.\n"
-                + "=" * 72
-            )
+        banner_fn = getattr(self.datamodule, "synthetic_banner", None)
+        banner = banner_fn("training") if banner_fn else None
+        if banner:
+            print(banner)
 
     def _log_media(self, epoch: int, step: int) -> None:
         """Render reconstruction + prior-sample grids into

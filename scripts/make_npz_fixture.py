@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import zlib
 
 import numpy as np
 
@@ -38,7 +39,9 @@ N_CLASSES = {
 
 def write_fixture(out_dir: str, dataset: str, n: int = 24, size: int = 28,
                   seed: int = 0) -> str:
-    rs = np.random.RandomState(seed + hash(dataset) % 1000)
+    # stable digest, not hash(): PYTHONHASHSEED randomization would make the
+    # "fixed seed" produce different fixtures per interpreter run
+    rs = np.random.RandomState(seed + zlib.crc32(dataset.encode()) % 1000)
     ch = DATASET_CHANNELS[dataset.lower()]
     arrays = {}
     for split, count in (("train", n), ("val", max(4, n // 4)),

@@ -142,3 +142,19 @@ def test_npz_loading(tmp_path):
     with pytest.raises(FileNotFoundError):
         MedMNISTSource("pathmnist", split="train", size=28, root=str(tmp_path),
                        synthetic_fallback=False)
+
+
+def test_synthetic_banner_single_source_of_truth():
+    """The SYNTHETIC DATA warning is owned by the datamodule (one wording for
+    trainer and evaluate); it names the fallback datasets and the root."""
+    dm = MedMNISTDataModule(
+        dataset_names=["chestmnist", "pathmnist"], size=28,
+        root="/nonexistent", batch_size=8,
+    )
+    assert dm.synthetic_banner() is None  # nothing loaded yet
+    dm.setup("fit")
+    banner = dm.synthetic_banner("evaluating")
+    assert banner is not None
+    assert "SYNTHETIC DATA" in banner
+    assert "chestmnist" in banner and "pathmnist" in banner
+    assert "evaluating" in banner and "/nonexistent" in banner

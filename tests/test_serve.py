@@ -132,11 +132,38 @@ def test_to_uint8_range():
 
 def test_warmup_and_info():
     _, _, eng = _base_engine(buckets=(1, 2))
-    assert eng.warmup() == 4  # 2 buckets x (reconstruct, sample)
+    # 2 buckets x (reconstruct, encode, decode, sample) — encode/decode have
+    # their own executables, warmup must touch all four
+    assert eng.warmup() == 8
     info = eng.info()
     assert info["model"] == "BaseVAE"
     assert info["resolution"] == 16
     assert info["buckets"] == [1, 2]
+
+
+def test_info_reports_real_latent_for_disentangled():
+    _, _, eng = _dis_engine()
+    # total_latent_dim (shared 4 + modality 4), not the inherited unused
+    # BaseVAE.latent_dim default
+    assert eng.info()["latent_dim"] == 8
+
+
+def test_conditional_vae_nondefault_cond_dim():
+    """The one-hot width must follow the model's cond_dim, not a fixed 12."""
+    model = ConditionalVAE(
+        input_channels=3, condition_method="concat",
+        modalities=["chestmnist", "pathmnist", "octmnist"], **TINY
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+        jnp.zeros((1, model.cond_dim)),
+    )
+    eng = InferenceEngine(model, variables["params"], buckets=(2,))
+    assert model.cond_dim == 3
+    x = np.zeros((2, 16, 16, 3), np.uint8)
+    out = eng.reconstruct(x, modality=np.array([0, 2], np.int32))
+    assert out.shape == (2, 16, 16, 3)
 
 
 def test_microbatcher_coalesces_and_matches_engine():
@@ -151,6 +178,44 @@ def test_microbatcher_coalesces_and_matches_engine():
         np.testing.assert_allclose(got, want, atol=1e-5)
     finally:
         mb.close()
+
+
+def test_microbatcher_survives_bad_requests_and_accepts_names():
+    """Ragged shapes / bad modality names must fail their own batch's
+    futures and leave the batcher thread alive for later requests."""
+    _, _, eng = _dis_engine(buckets=(1, 2, 4))
+    mb = MicroBatcher(eng, max_batch=2, max_delay_ms=20.0)
+    try:
+        good = np.zeros((16, 16, 3), np.uint8)
+        bad = np.zeros((8, 8, 3), np.uint8)  # ragged vs good -> stack fails
+        f1 = mb.submit(good)
+        f2 = mb.submit(bad)
+        excs = [f.exception(timeout=30) for f in (f1, f2)]
+        assert any(e is not None for e in excs)
+        # thread still alive: a clean follow-up request succeeds, and
+        # string modalities route like engine.reconstruct's
+        f3 = mb.submit(good, modality="pathmnist")
+        out = f3.result(timeout=30)
+        want = eng.reconstruct(good[None], modality="pathmnist")[0]
+        np.testing.assert_allclose(out, want, atol=1e-5)
+    finally:
+        mb.close()
+
+
+def test_microbatcher_close_fails_queued_futures():
+    _, _, eng = _dis_engine(buckets=(1,))
+    mb = MicroBatcher(eng, max_batch=1, max_delay_ms=1.0)
+    mb.close()
+    # post-close submits are rejected outright
+    with pytest.raises(RuntimeError):
+        mb.submit(np.zeros((16, 16, 3), np.uint8))
+    # anything force-queued before close resolution gets an exception, not a hang
+    from concurrent.futures import Future
+
+    fut = Future()
+    mb._q.put((np.zeros((16, 16, 3), np.uint8), None, fut))
+    mb.close()
+    assert isinstance(fut.exception(timeout=5), RuntimeError)
 
 
 def test_export_roundtrip_matches_engine(tmp_path):

@@ -51,6 +51,41 @@ def test_trainer_end_to_end(tmp_path, config_dir):
     assert os.path.exists(os.path.join(media, "epoch_0000_samples.png"))
 
 
+def test_media_logging_independent_of_val_cadence(tmp_path, config_dir):
+    """Media grids must follow their own epoch cadence even when it never
+    aligns with check_val_every_n_epoch (regression: the media call used to
+    live inside the validation block, so val-every-2 + images-every-3 would
+    only ever evaluate epochs 1 and 3 against `epoch % 3 == 0`)."""
+    cfg = compose(
+        config_dir,
+        overrides=[
+            "experiment=chest_base_vae_quick",
+            "device=cpu",
+            f"work_dir={tmp_path}",
+            "training.max_epochs=4",
+            "+training.limit_train_batches=1",
+            "+training.check_val_every_n_epoch=2",
+            "+training.log_images_every_n_epochs=3",
+            "early_stopping.enabled=false",
+            "data.batch_size=32",
+            "model.hidden_channels=8",
+            "model.ch_mult=[1,2]",
+            "model.latent_dim=4",
+        ],
+    )
+    Trainer(cfg).fit()
+    media = os.path.join(
+        str(tmp_path), "logs", "chest_base_vae_quick", "media"
+    )
+    for epoch in (0, 3):  # epochs where epoch % 3 == 0
+        assert os.path.exists(
+            os.path.join(media, f"epoch_{epoch:04d}_recon.png")
+        ), f"missing media for epoch {epoch}"
+        assert os.path.exists(
+            os.path.join(media, f"epoch_{epoch:04d}_samples.png")
+        )
+
+
 def test_trainer_gan_multidevice_end_to_end(tmp_path, config_dir):
     """ConditionalVAE + LPIPS/PatchGAN loss at 64x64 through the full Trainer
     on the 8-device mesh with the explicit shard_map GAN step — the
