@@ -62,8 +62,25 @@ class InferenceEngine:
         params,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh — weights are replicated and
+        request batches sharded over its data axis, so one engine serves at
+        full-slice throughput (throughput serving over ICI). Buckets are
+        rounded up to multiples of the data-axis size so every executable
+        has an even per-device shard."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from medvae_tpu.core.mesh import DATA_AXIS, DCN_AXIS, replicate
+
+            params = replicate(mesh, params)
+            # the batch shards over (dcn, data); model-axis devices see the
+            # full shard, so buckets only need data-extent multiples
+            n_data = int(mesh.shape[DATA_AXIS]) * int(
+                mesh.shape.get(DCN_AXIS, 1)
+            )
+            buckets = [-(-int(b) // n_data) * n_data for b in buckets]
         self.params = params
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         if not self.buckets or self.buckets[0] < 1:
@@ -129,11 +146,24 @@ class InferenceEngine:
         ckpt_path: str,
         config_path: Optional[str] = None,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        mesh=None,
+        use_ema: bool = False,
     ) -> "InferenceEngine":
-        from medvae_tpu.cli.common import load_model_and_params
+        """`use_ema`: serve the EMA weight average when the checkpoint
+        carries one (training.ema_decay > 0), the usual deployment choice."""
+        from medvae_tpu.cli.common import load_checkpoint, load_model_and_params
 
         model, params, _ = load_model_and_params(ckpt_path, config_path)
-        return cls(model, params, buckets=buckets)
+        if use_ema:
+            state = load_checkpoint(ckpt_path)
+            ema = state.get("ema_params")
+            if ema is None:
+                raise ValueError(
+                    f"use_ema=True but checkpoint {ckpt_path} has no "
+                    "ema_params (train with training.ema_decay > 0)"
+                )
+            params = ema
+        return cls(model, params, buckets=buckets, mesh=mesh)
 
     # ------------------------------------------------------------------ #
     # request plumbing                                                    #
@@ -191,11 +221,15 @@ class InferenceEngine:
         onehot[np.arange(n), np.clip(midx, 0, w - 1)] = 1.0
         return midx, onehot
 
-    def _pad(self, a: np.ndarray, bucket: int) -> np.ndarray:
-        if a.shape[0] == bucket:
-            return a
-        pad = np.zeros((bucket - a.shape[0],) + a.shape[1:], a.dtype)
-        return np.concatenate([a, pad], axis=0)
+    def _pad(self, a: np.ndarray, bucket: int):
+        if a.shape[0] != bucket:
+            pad = np.zeros((bucket - a.shape[0],) + a.shape[1:], a.dtype)
+            a = np.concatenate([a, pad], axis=0)
+        if self.mesh is not None:
+            from medvae_tpu.core.mesh import data_sharding
+
+            a = jax.device_put(a, data_sharding(self.mesh, a.ndim))
+        return a
 
     def _next_key(self):
         with self._rng_lock:

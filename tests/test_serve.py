@@ -237,6 +237,93 @@ def test_export_roundtrip_matches_engine(tmp_path):
     assert s.shape == (4, 16, 16, 3)
 
 
+def test_mesh_sharded_engine_matches_single_device():
+    """mesh= shards request batches over the data axis (weights replicated);
+    results must match the unsharded engine exactly and buckets round up to
+    per-device-even sizes."""
+    from medvae_tpu.core.mesh import create_mesh
+
+    model = DisentangledConditionalVAE(
+        num_modalities=5, shared_latent_dim=4, modality_latent_dim=4,
+        hidden_channels=8, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), resolution=16,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    mesh = create_mesh()  # 8-device virtual CPU mesh (conftest)
+    n_data = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                          if a in ("data", "dcn")]))
+    single = InferenceEngine(model, variables["params"], buckets=(4, 16))
+    sharded = InferenceEngine(
+        model, variables["params"], buckets=(4, 16), mesh=mesh
+    )
+    assert all(b % n_data == 0 for b in sharded.buckets)
+
+    rs = np.random.RandomState(5)
+    x = rs.randint(0, 255, (10, 16, 16, 3), np.uint8)
+    midx = (np.arange(10) % 5).astype(np.int32)
+    np.testing.assert_allclose(
+        sharded.reconstruct(x, modality=midx),
+        single.reconstruct(x, modality=midx),
+        atol=1e-5,
+    )
+    m_s, lv_s = sharded.encode(x, modality=midx)
+    m_1, lv_1 = single.encode(x, modality=midx)
+    np.testing.assert_allclose(m_s, m_1, atol=1e-5)
+    np.testing.assert_allclose(lv_s, lv_1, atol=1e-5)
+
+
+def test_from_checkpoint_use_ema_requires_ema(tmp_path):
+    """use_ema must serve state.ema_params and fail loudly when absent."""
+    import yaml
+
+    from medvae_tpu.train.state import create_train_state
+    from medvae_tpu.train.optim import build_optimizer
+    import orbax.checkpoint as ocp
+
+    model = BaseVAE(input_channels=3, **TINY)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+    )
+    tx = build_optimizer({"type": "adam", "lr": 1e-3}, {"type": "constant"})
+    state = create_train_state(variables["params"], tx, ema_decay=0.999)
+    # make EMA distinguishable from the live params
+    state = state.replace(
+        ema_params=jax.tree_util.tree_map(lambda p: p * 0.0, state.ema_params)
+    )
+    ckpt = tmp_path / "ck" / "last"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(ckpt), jax.device_get(state))
+    ckptr.wait_until_finished()
+    cfg = {
+        "model": {"_target_": "src.models.BaseVAE", "input_channels": 3, **{
+            k: (list(v) if isinstance(v, tuple) else v) for k, v in TINY.items()
+        }},
+        "precision": "fp32",
+        "use_pallas": False,
+    }
+    with open(tmp_path / "ck" / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    eng = InferenceEngine.from_checkpoint(str(ckpt), buckets=(2,), use_ema=True)
+    # zeroed EMA weights -> decode of zero latents is exactly the zero graph
+    leaves = jax.tree_util.tree_leaves(eng.params)
+    assert all(float(np.abs(np.asarray(l)).max()) == 0.0 for l in leaves)
+
+    state_no_ema = create_train_state(variables["params"], tx)
+    ckpt2 = tmp_path / "ck2" / "last"
+    ckptr.save(str(ckpt2), jax.device_get(state_no_ema))
+    ckptr.wait_until_finished()
+    with open(tmp_path / "ck2" / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    with pytest.raises(ValueError, match="ema_params"):
+        InferenceEngine.from_checkpoint(str(ckpt2), buckets=(2,), use_ema=True)
+
+
 def test_http_server_end_to_end():
     from medvae_tpu.cli.serve import _np_to_b64, _b64_to_np, serve
 
