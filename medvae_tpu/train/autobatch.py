@@ -1,0 +1,174 @@
+"""Automatic batch sizing: probe the largest batch that fits device memory.
+
+New capability beyond the reference (which hand-pins batch_size per config;
+README roadmap item "per-resolution batch auto-sizing"). `data.batch_size=auto`
+makes the Trainer probe with the REAL jitted train step — same model, loss,
+optimizer-state footprint, remat policy — doubling until the device reports
+RESOURCE_EXHAUSTED, then settling on the largest working size (one midpoint
+refinement), rounded down to a multiple of the mesh's batch extent.
+
+Each candidate costs one XLA compile (~20-40 s on a tunneled TPU), so the
+probe is opt-in, logs its trajectory, and is bounded by `max_batch` and the
+dataset size. Memory-relevant knobs (resolution, remat, loss type, EMA,
+optimizer) are all captured because the probe runs the production step; the
+result is only valid for that configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+
+def is_oom_error(e: BaseException) -> bool:
+    """True when an exception is a device out-of-memory failure."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "RESOURCE_EXHAUSTED",
+            "Out of memory",
+            "out of memory",
+            "OOM",
+            "Resource exhausted",
+            "exceeds the amount of memory available",
+        )
+    )
+
+
+def probe_max_batch_size(
+    try_fn: Callable[[int], None],
+    start: int = 64,
+    max_batch: int = 65536,
+    multiple: int = 1,
+    log: Callable[[str], None] = print,
+) -> int:
+    """Largest b (multiple of `multiple`, ≤ max_batch) for which try_fn(b)
+    does not OOM.
+
+    try_fn runs one real step at batch b and raises on failure; OOM errors
+    (is_oom_error) shrink the search, any other exception propagates.
+    Strategy: double from `start` until failure or cap, then one midpoint
+    refinement between the last success and the first failure.
+    """
+    def _round(b: int) -> int:
+        return max(multiple, (b // multiple) * multiple)
+
+    start = _round(start)
+    good: Optional[int] = None
+    bad: Optional[int] = None
+    b = start
+    while True:
+        try:
+            try_fn(b)
+            good = b
+            log(f"autobatch: {b} fits")
+            if b >= max_batch:
+                return _round(b)
+            b = min(b * 2, max_batch)
+        except Exception as e:  # noqa: BLE001 - filtered by is_oom_error
+            if not is_oom_error(e):
+                raise
+            bad = b
+            log(f"autobatch: {b} OOM")
+            if good is not None:
+                break
+            if b <= multiple:
+                raise MemoryError(
+                    f"even batch {b} does not fit device memory"
+                ) from e
+            b = _round(max(multiple, b // 2))
+    # one midpoint refinement (compile cost bounds how fine we search)
+    mid = _round((good + bad) // 2)
+    if mid > good:
+        try:
+            try_fn(mid)
+            good = mid
+            log(f"autobatch: {mid} fits")
+        except Exception as e:  # noqa: BLE001
+            if not is_oom_error(e):
+                raise
+            log(f"autobatch: {mid} OOM")
+    log(f"autobatch: selected {good}")
+    return good
+
+
+def resolve_auto_batch_size(
+    model,
+    datamodule,
+    mesh,
+    loss_cfg: dict,
+    params,
+    seed_key,
+    frozen=None,
+    disc=None,
+    disc_vars=None,
+    start: int = 64,
+    max_batch: int = 65536,
+    log: Callable[[str], None] = print,
+) -> int:
+    """Probe with the production train step (build_train_step) on synthetic
+    device batches; returns the chosen global batch size.
+
+    The probe state carries the run's full memory footprint — frozen
+    perceptual nets and the GAN discriminator (params + its optimizer slots)
+    when configured — so the selected size holds for the real run."""
+    import jax
+    import optax
+
+    from medvae_tpu.core.mesh import DATA_AXIS, DCN_AXIS, replicate, shard_batch
+    from medvae_tpu.data.medmnist import MODALITY_NAMES
+    from medvae_tpu.train.state import create_train_state
+    from medvae_tpu.train.step import build_train_step
+
+    n_data = int(mesh.shape[DATA_AXIS]) * int(mesh.shape.get(DCN_AXIS, 1))
+    n_train = len(datamodule.train_arrays)
+    cap = min(int(max_batch), max(n_data, (n_train // n_data) * n_data))
+
+    # memory-faithful probe optimizer: adam's m/v slots like the real run
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+    disc_tx = tx if disc is not None else None
+    # donate=False: donation would consume the shared `params` buffers on the
+    # first probe call (the Trainer still needs them). Probing without
+    # donation holds input+output state simultaneously — i.e. it OVERestimates
+    # the real (donating) run's memory, so the chosen size errs safe.
+    step = build_train_step(
+        model, dict(loss_cfg), tx, mesh,
+        augment=bool(getattr(datamodule, "augment_train", False)),
+        normalize=True,
+        max_channels=datamodule.max_channels,
+        disc=disc, disc_tx=disc_tx,
+        donate=False,
+    )
+    size = datamodule.size
+    c = datamodule.max_channels
+    rng = jax.random.fold_in(seed_key, 99)
+
+    def try_fn(b: int) -> None:
+        midx = (np.arange(b) % len(MODALITY_NAMES)).astype(np.int32)
+        batch = {
+            "image_u8": np.zeros((b, size, size, c), np.uint8),
+            "label": np.zeros((b,), np.int32),
+            "modality_onehot": np.eye(len(MODALITY_NAMES), dtype=np.float32)[
+                midx
+            ],
+            "modality_idx": midx,
+            "channels": np.full((b,), c, np.int32),
+            "valid": np.ones((b,), np.float32),
+        }
+        # fresh state per candidate: the step donates its input state
+        state = replicate(
+            mesh,
+            create_train_state(
+                params, tx, frozen=frozen or {}, disc_variables=disc_vars,
+                disc_tx=disc_tx,
+            ),
+        )
+        new_state, metrics = step(state, shard_batch(mesh, batch), rng)
+        float(jax.device_get(metrics["train/loss"]))  # force execution
+        del new_state
+
+    return probe_max_batch_size(
+        try_fn, start=start, max_batch=cap, multiple=n_data, log=log
+    )

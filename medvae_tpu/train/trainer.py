@@ -88,7 +88,13 @@ class Trainer:
         )
 
         # data ---------------------------------------------------------------
-        self.datamodule: MedMNISTDataModule = instantiate(cfg["data"])
+        data_cfg = dict(cfg["data"])
+        # data.batch_size=auto: resolved below by probing the device (the
+        # datamodule is built with a placeholder, overwritten before use)
+        self._auto_bs = str(data_cfg.get("batch_size", "")).lower() == "auto"
+        if self._auto_bs:
+            data_cfg["batch_size"] = 64
+        self.datamodule: MedMNISTDataModule = instantiate(data_cfg)
         self.datamodule.setup(None)
 
         # model ---------------------------------------------------------------
@@ -108,18 +114,9 @@ class Trainer:
         self.loss_cfg = dict(tcfg.get("loss", {"type": "vae"}))
         if "discriminator" in tcfg:
             self.loss_cfg.setdefault("discriminator", dict(tcfg["discriminator"]))
-        bs = int(self.datamodule.batch_size)
-        steps_per_epoch = max(1, len(self.datamodule.train_arrays) // bs)
-        self.steps_per_epoch = steps_per_epoch
 
-        self.tx = build_optimizer(
-            dict(tcfg.get("optimizer", {})),
-            dict(tcfg.get("scheduler", {}) or {}),
-            steps_per_epoch=steps_per_epoch,
-            gradient_clip_val=tcfg.get("gradient_clip_val", 1.0),
-        )
-
-        # GAN extras -----------------------------------------------------------
+        # GAN extras (before batch sizing: the auto-batch probe must carry
+        # the run's full memory footprint — frozen nets + discriminator) -----
         use_gan = str(self.loss_cfg.get("type")) == "lpips_discriminator"
         disc = disc_vars = disc_tx = None
         frozen = {}
@@ -146,12 +143,6 @@ class Trainer:
                     f"image size {self.datamodule.size}; reduce n_layers or "
                     f"increase the image size"
                 )
-            disc_tx = discriminator_optimizer(
-                dict(tcfg.get("optimizer", {})),
-                dict(tcfg.get("scheduler", {}) or {}),
-                steps_per_epoch=steps_per_epoch,
-                gradient_clip_val=tcfg.get("gradient_clip_val", 1.0),
-            )
             gan_loss = make_gan_loss(self.loss_cfg)
             frozen = gan_loss.init_frozen(
                 jax.random.fold_in(self.seed_key, 11), self.datamodule.size
@@ -170,6 +161,36 @@ class Trainer:
                     encoder=self.loss_cfg.get("clip_encoder", "simple")
                 ).init(jax.random.fold_in(self.seed_key, 11))
             }
+
+        # batch size + optimizers (data.batch_size=auto probes the largest
+        # batch that fits device memory with the production step) -------------
+        if self._auto_bs:
+            from medvae_tpu.train.autobatch import resolve_auto_batch_size
+
+            self.datamodule.batch_size = resolve_auto_batch_size(
+                self.model, self.datamodule, self.mesh, self.loss_cfg,
+                params, self.seed_key, frozen=frozen, disc=disc,
+                disc_vars=disc_vars,
+                start=int(tcfg.get("autobatch_start", 64) or 64),
+                max_batch=int(tcfg.get("autobatch_max", 65536) or 65536),
+            )
+        bs = int(self.datamodule.batch_size)
+        steps_per_epoch = max(1, len(self.datamodule.train_arrays) // bs)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.tx = build_optimizer(
+            dict(tcfg.get("optimizer", {})),
+            dict(tcfg.get("scheduler", {}) or {}),
+            steps_per_epoch=steps_per_epoch,
+            gradient_clip_val=tcfg.get("gradient_clip_val", 1.0),
+        )
+        if use_gan:
+            disc_tx = discriminator_optimizer(
+                dict(tcfg.get("optimizer", {})),
+                dict(tcfg.get("scheduler", {}) or {}),
+                steps_per_epoch=steps_per_epoch,
+                gradient_clip_val=tcfg.get("gradient_clip_val", 1.0),
+            )
 
         self.ema_decay = float(tcfg.get("ema_decay", 0.0) or 0.0)
         self.state = create_train_state(
