@@ -101,8 +101,9 @@ class BaseVAE(nn.Module):
         *,
         deterministic: bool = True,
         temb: Optional[jax.Array] = None,
+        film: Optional[Sequence[Tuple[jax.Array, jax.Array]]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        h = self.encoder(x, deterministic, temb)
+        h = self.encoder(x, deterministic, temb, film)
         mean, logvar = jnp.split(h, 2, axis=-1)
         return mean, logvar
 

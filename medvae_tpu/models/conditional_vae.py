@@ -9,8 +9,11 @@ unconditional (:144-145,177-179). `inject` is a stub in
 the reference (:80-89) whose scaffolding (a condition MLP, :83-85) maps exactly
 onto the temb port the ResnetBlocks already carry — here it is implemented for
 real: the embedded condition injects into every encoder ResnetBlock
-(capability-plus over the reference). `film` remains a declared-but-unapplied
-stub exactly as in the reference (:91-99, FiLMLayer :191-203 provided).
+(capability-plus over the reference). `film` is likewise implemented for real
+(the reference declares per-level FiLMLayers but never applies them, :91-99,
+:129-132): each encoder level's output is feature-wise modulated
+(scale·h + shift) from the condition, with the FiLMLayer math of the
+reference's :191-203.
 
 Reference quirk kept: a `num_modalities` kwarg from the configs is accepted and
 ignored (swallowed by **kwargs in the reference, SURVEY §2.1).
@@ -50,14 +53,22 @@ class FiLMLayer(nn.Module):
     feature_dim: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.scale_transform = nn.Dense(
+            self.feature_dim, dtype=self.dtype, name="scale_transform"
+        )
+        self.shift_transform = nn.Dense(
+            self.feature_dim, dtype=self.dtype, name="shift_transform"
+        )
+
+    def modulation(self, condition: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Per-channel (scale, shift), shape (B, feature_dim) each — computed
+        once from the condition so the encoder can apply them without owning
+        any conditioning parameters."""
+        return self.scale_transform(condition), self.shift_transform(condition)
+
     def __call__(self, features: jax.Array, condition: jax.Array) -> jax.Array:
-        scale = nn.Dense(self.feature_dim, dtype=self.dtype, name="scale_transform")(
-            condition
-        )
-        shift = nn.Dense(self.feature_dim, dtype=self.dtype, name="shift_transform")(
-            condition
-        )
+        scale, shift = self.modulation(condition)
         return features * scale[:, None, None, :] + shift[:, None, None, :]
 
 
@@ -83,10 +94,13 @@ class ConditionalVAE(BaseVAE):
                 self.input_channels * 8 * 8, dtype=self.dtype, name="condition_proj"
             )
         elif self.condition_method == "film":
+            # one FiLM per resolution level, sized to that level's output
+            # channels (ch·ch_mult[i] — the level dims the reference's stub
+            # allocated but never applied, :91-99)
             self.film_layers = [
                 FiLMLayer(
                     condition_dim=self.cond_dim,
-                    feature_dim=self.hidden_channels * (2**i),
+                    feature_dim=self.hidden_channels * self.ch_mult[i],
                     dtype=self.dtype,
                     name=f"film_{i}",
                 )
@@ -127,7 +141,15 @@ class ConditionalVAE(BaseVAE):
         if self.condition_method == "inject":
             temb = self.condition_embedding(condition.astype(self.dtype))
             return super().encode(x, deterministic=deterministic, temb=temb)
-        # film: condition declared but not applied (reference stub, :129-132)
+        if self.condition_method == "film":
+            # implemented for real (capability-plus over the reference stub,
+            # :129-132): each level's features are scaled/shifted per-channel
+            # by the condition, applied after that level's res/attn blocks
+            mods = tuple(
+                layer.modulation(condition.astype(self.dtype))
+                for layer in self.film_layers
+            )
+            return super().encode(x, deterministic=deterministic, film=mods)
         return super().encode(x, deterministic=deterministic)
 
     def __call__(

@@ -14,7 +14,7 @@ insertion resolved at construction time (no Python branching under jit).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +57,12 @@ class Encoder(nn.Module):
     def __call__(
         self, x: jax.Array, deterministic: bool = True,
         temb: Optional[jax.Array] = None,
+        film: Optional[Sequence[Tuple[jax.Array, jax.Array]]] = None,
     ) -> jax.Array:
+        """`film`, when given, is one (scale, shift) pair of shape (B, C_level)
+        per resolution level; each level's output is feature-wise modulated
+        after its res/attn blocks (FiLM conditioning — the conditioning params
+        live in the caller, so the encoder stays condition-agnostic)."""
         attn_type = "linear" if self.use_linear_attn else self.attn_type
         block_cls = _resblock_cls(bool(self.remat))  # block-level also nests under "full"
         num_resolutions = len(self.ch_mult)
@@ -88,6 +93,11 @@ class Encoder(nn.Module):
                         use_pallas=self.use_pallas,
                         name=f"down_{i_level}_attn_{i_block}",
                     )(h)
+            if film is not None:
+                scale, shift = film[i_level]
+                h = h * scale[:, None, None, :].astype(h.dtype) + shift[
+                    :, None, None, :
+                ].astype(h.dtype)
             if i_level != num_resolutions - 1:
                 h = Downsample(
                     block_in,

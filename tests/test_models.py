@@ -319,3 +319,37 @@ def test_conditional_vae_inject():
     )
     # conv_in NOT widened for inject (no concat)
     assert variables["params"]["encoder"]["conv_in"]["kernel"].shape[2] == 1
+
+
+def test_conditional_vae_film():
+    """`film` conditioning (implemented beyond the reference's unapplied stub,
+    conditional_vae.py:91-99,:129-132): per-level feature-wise modulation from
+    the condition — different conditions must change the encoding, FiLM params
+    must receive gradients, and conv_in must stay unwidened."""
+    model = ConditionalVAE(input_channels=1, condition_method="film", **QUICK)
+    x = jnp.ones((2, 28, 28, 1)) * 0.3
+    cond_a = jax.nn.one_hot(jnp.array([0, 0]), 12)
+    cond_b = jax.nn.one_hot(jnp.array([5, 5]), 12)
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, cond_a)
+    out_a = model.apply(variables, x, cond_a, rngs={"sample": jax.random.PRNGKey(2)})
+    out_b = model.apply(variables, x, cond_b, rngs={"sample": jax.random.PRNGKey(2)})
+    assert out_a["reconstruction"].shape == (2, 28, 28, 1)
+    assert not np.allclose(
+        np.asarray(out_a["mean"]), np.asarray(out_b["mean"]), atol=1e-5
+    )
+    assert variables["params"]["encoder"]["conv_in"]["kernel"].shape[2] == 1
+    # one FiLM layer per level, sized to that level's output channels
+    for i, mult in enumerate(QUICK["ch_mult"]):
+        k = variables["params"][f"film_{i}"]["scale_transform"]["kernel"]
+        assert k.shape == (12, QUICK["hidden_channels"] * mult)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params}, x, cond_a, rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        return jnp.mean((out["reconstruction"] - x) ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g = grads["film_0"]["scale_transform"]["kernel"]
+    assert float(jnp.max(jnp.abs(g))) > 0.0  # FiLM params are in the graph
