@@ -8,10 +8,13 @@ Modes (BENCH_MODE):
     batch: isolates device throughput (no host feed in the timed loop).
     Reports MFU (achieved model TFLOP/s vs chip bf16 peak) from XLA's
     compiled-cost analysis.
-  * pipeline — the PRODUCTION path: synthetic uint8 arrays streamed through
-    DeviceFeeder (per-step host shuffle+gather+device_put, prefetch 2) into
-    the same step. Reports end-to-end images/sec plus the host-feed duty
-    cycle (fraction of wall time the host spent gathering/dispatching).
+  * pipeline — the PRODUCTION path: a full epoch loop feeding the same step.
+    Default = what the trainer does under data.device_cache=auto: the split
+    pinned on device once, per-step batch assembly (shuffle/gather/one-hot)
+    on device (DeviceCachedFeeder — zero steady-state host transfers).
+    BENCH_CACHE=0 forces the host-streamed DeviceFeeder (per-step host
+    shuffle+gather+device_put, prefetch 2) instead — the multi-host path.
+    Reports end-to-end images/sec plus the host-feed duty cycle.
   * generate — conditional sampling throughput (samples/sec).
 
 Configs (BENCH_CONFIG): quick (default; 28x28, the north-star config) or
@@ -197,7 +200,7 @@ def pipeline_bench() -> None:
     device_put, prefetch-overlapped with device compute)."""
     from medvae_tpu.core.mesh import create_mesh
     from medvae_tpu.data.medmnist import SplitArrays
-    from medvae_tpu.data.pipeline import DeviceFeeder
+    from medvae_tpu.data.pipeline import DeviceCachedFeeder, DeviceFeeder
 
     mesh = create_mesh()
     n_chips = int(np.prod(list(mesh.shape.values())))
@@ -215,7 +218,12 @@ def pipeline_bench() -> None:
         modality_idx=proto["modality_idx"],
         channels=3,
     )
-    feeder = DeviceFeeder(
+    feeder_cls = (
+        DeviceFeeder
+        if os.environ.get("BENCH_CACHE", "1") == "0"
+        else DeviceCachedFeeder
+    )
+    feeder = feeder_cls(
         arrays, batch_size, mesh, shuffle=True, drop_last=True, prefetch=2
     )
 

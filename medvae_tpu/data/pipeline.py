@@ -145,6 +145,138 @@ class DeviceFeeder:
             yield pending.popleft()
 
 
+class DeviceCachedFeeder:
+    """Device-resident dataset cache with fully on-device batch assembly.
+
+    Motivation (measured on the live chip, 28² quick config, bs 4096): the
+    host-streamed path pays ~300 ms/step of device-side serialization for the
+    ~10 MB/step image transfer even though the wire time is ~8 ms and dispatch
+    is async with prefetch — host→device copies do not overlap compute through
+    this runtime, capping the end-to-end pipeline at ~12–16k img/s against a
+    ~96 ms (43k img/s) device step. When the split's uint8 arrays fit an HBM
+    budget, the TPU-idiomatic fix is to pin them on device ONCE and build every
+    batch there: per-epoch `jax.random` permutation, row gather, one-hot and
+    per-modality channel lookup, all inside one jitted function with the batch
+    axis sharded over the mesh — zero steady-state host transfers. Measured at
+    device-step speed (~98 ms/step ≈ 42k img/s end-to-end).
+
+    Semantics match `DeviceFeeder` (same batch dict, per-epoch reshuffle,
+    drop_last / wraparound-pad + `valid` mask) except the shuffle order comes
+    from `jax.random` instead of `np.random` — both uniform, orders differ.
+    Single-process only: multi-host runs keep the per-host `DeviceFeeder`.
+    """
+
+    def __init__(
+        self,
+        arrays: SplitArrays,
+        batch_size: int,
+        mesh: Mesh,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,  # accepted for API parity with DeviceFeeder; unused
+    ):
+        if jax.process_count() > 1:
+            raise ValueError(
+                "DeviceCachedFeeder is single-process; use DeviceFeeder for "
+                "multi-host runs (each process feeds its own shard)"
+            )
+        del prefetch
+        self.arrays = arrays
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        n = len(arrays)
+        self._n = n
+        if drop_last:
+            self.steps_per_epoch = max(1, n // batch_size) if n >= batch_size else 1
+        else:
+            self.steps_per_epoch = (n + batch_size - 1) // batch_size
+
+        # pin the split on device, rows sharded over the batch axes; pad the
+        # row count to the sharding extent with wraparound rows (indices only
+        # ever address [0, n), so pad rows are storage, never data)
+        from medvae_tpu.core.mesh import batch_axes
+
+        axes = batch_axes(mesh)
+        shards = int(
+            np.prod([mesh.shape[a] for a in (axes if isinstance(axes, tuple) else (axes,))])
+        )
+        n_pad = ((n + shards - 1) // shards) * shards
+        pad_idx = np.arange(n_pad) % n
+        self._images = jax.device_put(
+            arrays.images[pad_idx], data_sharding(mesh, arrays.images.ndim)
+        )
+        self._labels = jax.device_put(arrays.labels[pad_idx], data_sharding(mesh, 1))
+        self._midx = jax.device_put(
+            arrays.modality_idx[pad_idx], data_sharding(mesh, 1)
+        )
+        self._key = jax.random.PRNGKey(seed)
+
+        num_mod = len(MODALITY_NAMES)
+        ch_table = jnp.asarray(CHANNELS_BY_MODALITY_INDEX, jnp.int32)
+        bs = batch_size
+        out_shardings = {
+            "image_u8": data_sharding(mesh, arrays.images.ndim),
+            "label": data_sharding(mesh, 1),
+            "modality_onehot": data_sharding(mesh, 2),
+            "modality_idx": data_sharding(mesh, 1),
+            "channels": data_sharding(mesh, 1),
+            "valid": data_sharding(mesh, 1),
+        }
+
+        def assemble(images, labels, midx, perm, step):
+            pos = step * bs + jnp.arange(bs, dtype=jnp.int32)
+            valid = (pos < n).astype(jnp.float32)
+            idx = pos % n
+            if self.shuffle:
+                idx = jnp.take(perm, idx, axis=0)
+            mi = jnp.take(midx, idx, axis=0)
+            return {
+                "image_u8": jnp.take(images, idx, axis=0),
+                "label": jnp.take(labels, idx, axis=0),
+                "modality_onehot": jax.nn.one_hot(mi, num_mod, dtype=jnp.float32),
+                "modality_idx": mi,
+                "channels": jnp.take(ch_table, mi, axis=0),
+                "valid": valid,
+            }
+
+        from medvae_tpu.core.mesh import replicated_sharding
+
+        self._assemble = jax.jit(assemble, out_shardings=out_shardings)
+        self._perm = jax.jit(
+            lambda key: jax.random.permutation(key, n),
+            out_shardings=replicated_sharding(mesh),
+        )
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def cache_nbytes(self) -> int:
+        return sum(int(a.nbytes) for a in (self._images, self._labels, self._midx))
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, jax.Array]]:
+        perm = (
+            self._perm(jax.random.fold_in(self._key, epoch))
+            if self.shuffle
+            else jnp.zeros((1,), jnp.int32)  # unused placeholder
+        )
+        for step in range(self.steps_per_epoch):
+            yield self._assemble(
+                self._images, self._labels, self._midx, perm,
+                jnp.asarray(step, jnp.int32),
+            )
+
+
+def split_cache_nbytes(arrays: SplitArrays) -> int:
+    """Host-side estimate of what DeviceCachedFeeder would pin in HBM."""
+    return int(
+        arrays.images.nbytes + arrays.labels.nbytes + arrays.modality_idx.nbytes
+    )
+
+
 def normalize_and_augment(
     image_u8: jax.Array,
     rng: Optional[jax.Array],

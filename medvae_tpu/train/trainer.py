@@ -79,6 +79,7 @@ def init_model_variables(model, datamodule: MedMNISTDataModule, rng: jax.Array):
 class Trainer:
     def __init__(self, cfg: Dict[str, Any]):
         self.cfg = cfg
+        self._feeders: Dict[Any, Any] = {}
         self.seed_key = set_seed(int(cfg.get("seed", 42)))
         mesh_cfg = cfg.get("mesh", {}) or {}
         self.mesh = create_mesh(
@@ -346,15 +347,50 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def _feeder(self, split: str, shuffle: bool, drop_last: bool) -> DeviceFeeder:
-        return DeviceFeeder(
-            self.datamodule.split(split),
-            self.datamodule.batch_size,
-            self.mesh,
-            shuffle=shuffle,
-            drop_last=drop_last,
-            seed=int(self.cfg.get("seed", 42)),
-        )
+    def _feeder(self, split: str, shuffle: bool, drop_last: bool):
+        """Feeder per (split, shuffle, drop_last), memoized so a device cache
+        is pinned once per run, not re-transferred every validation epoch.
+
+        data.device_cache: "auto" (default — cache a split on device when its
+        uint8 arrays fit MEDVAE_DEVICE_CACHE_BUDGET bytes, default 2 GiB),
+        "true" (force), or "false" (always stream from host). Through
+        transports where host→device copies serialize against compute, the
+        cached path keeps training at device-step speed (pipeline.py:
+        DeviceCachedFeeder docstring has the measurements)."""
+        key = (split, shuffle, drop_last)
+        cached = self._feeders.get(key)
+        if cached is not None:
+            return cached
+        arrays = self.datamodule.split(split)
+        seed = int(self.cfg.get("seed", 42))
+        mode = str(
+            (self.cfg.get("data") or {}).get("device_cache", "auto")
+        ).lower()
+        feeder = None
+        if mode in ("auto", "true", "1") and jax.process_count() == 1:
+            from medvae_tpu.data.pipeline import (
+                DeviceCachedFeeder,
+                split_cache_nbytes,
+            )
+
+            budget = int(
+                os.environ.get("MEDVAE_DEVICE_CACHE_BUDGET", 2 << 30)
+            )
+            if mode != "auto" or split_cache_nbytes(arrays) <= budget:
+                try:
+                    feeder = DeviceCachedFeeder(
+                        arrays, self.datamodule.batch_size, self.mesh,
+                        shuffle=shuffle, drop_last=drop_last, seed=seed,
+                    )
+                except Exception as e:  # OOM etc. — stream from host instead
+                    print(f"device_cache unavailable ({e}); streaming from host")
+        if feeder is None:
+            feeder = DeviceFeeder(
+                arrays, self.datamodule.batch_size, self.mesh,
+                shuffle=shuffle, drop_last=drop_last, seed=seed,
+            )
+        self._feeders[key] = feeder
+        return feeder
 
     def validate(self, split: str = "val") -> Dict[str, float]:
         from medvae_tpu.data.medmnist import MODALITY_NAMES

@@ -17,7 +17,12 @@ from medvae_tpu.data.medmnist import (
     modality_index,
     _standardize_labels,
 )
-from medvae_tpu.data.pipeline import DeviceFeeder, normalize_and_augment
+from medvae_tpu.data.pipeline import (
+    DeviceCachedFeeder,
+    DeviceFeeder,
+    normalize_and_augment,
+    split_cache_nbytes,
+)
 
 
 def test_modality_map_order():
@@ -115,6 +120,88 @@ def test_normalize_and_augment():
     )(u8, jax.random.PRNGKey(0))
     assert xa.shape == x.shape
     assert np.isfinite(np.asarray(xa)).all()
+
+
+def _batch_rows(batches):
+    """(label, modality_idx) rows of the valid samples across an epoch."""
+    rows = []
+    for b in batches:
+        v = np.asarray(b["valid"]) > 0
+        rows += list(
+            zip(np.asarray(b["label"])[v], np.asarray(b["modality_idx"])[v])
+        )
+    return rows
+
+
+def test_device_cached_feeder_matches_host_feeder_eval():
+    """Cached eval path (shuffle=False, wraparound pad + mask) must yield the
+    exact same batches as the host DeviceFeeder — order, shapes, onehot,
+    channels, and valid mask."""
+    dm = MedMNISTDataModule(["chestmnist", "pathmnist"], batch_size=100, size=28,
+                            root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    host = DeviceFeeder(dm.val_arrays, 100, mesh, shuffle=False, drop_last=False)
+    dev = DeviceCachedFeeder(dm.val_arrays, 100, mesh, shuffle=False,
+                             drop_last=False)
+    hb = list(host.epoch(0))
+    db = list(dev.epoch(0))
+    assert len(hb) == len(db) == dev.steps_per_epoch
+    for h, d in zip(hb, db):
+        for k in h:
+            np.testing.assert_array_equal(
+                np.asarray(h[k]), np.asarray(d[k]), err_msg=k
+            )
+
+
+def test_device_cached_feeder_shuffle_is_a_permutation():
+    """Shuffled cached epochs must cover exactly the dataset (a permutation —
+    no dropped or duplicated samples), differ between epochs, and carry
+    channels/onehot consistent with modality_idx."""
+    dm = MedMNISTDataModule(["chestmnist", "pathmnist"], batch_size=128, size=28,
+                            root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    arrays = dm.train_arrays
+    dev = DeviceCachedFeeder(arrays, 128, mesh, shuffle=True, drop_last=True)
+    b0 = list(dev.epoch(0))
+    expect = sorted(zip(arrays.labels, arrays.modality_idx))
+    assert sorted(_batch_rows(b0)) == expect  # full cover, no dups
+    # per-sample invariants
+    for b in b0[:2]:
+        mi = np.asarray(b["modality_idx"])
+        np.testing.assert_array_equal(
+            np.asarray(b["channels"]), CHANNELS_BY_MODALITY_INDEX[mi]
+        )
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(b["modality_onehot"]), axis=1), mi
+        )
+    # reshuffles between epochs
+    b1 = next(iter(dev.epoch(1)))
+    assert not np.array_equal(
+        np.asarray(b0[0]["label"]), np.asarray(b1["label"])
+    )
+
+
+def test_device_cached_feeder_multidevice_mesh():
+    """Cached assembly on the 8-device mesh: batches come out sharded over
+    the data axis and still form an exact permutation of the dataset."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    dm = MedMNISTDataModule(["chestmnist"], batch_size=64, size=28,
+                            root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    arrays = dm.train_arrays
+    dev = DeviceCachedFeeder(arrays, 64, mesh, shuffle=True, drop_last=True)
+    batches = list(dev.epoch(3))
+    b = batches[0]
+    assert b["image_u8"].shape == (64, 28, 28, 1)
+    assert len(b["image_u8"].sharding.device_set) == 8
+    assert sorted(_batch_rows(batches)) == sorted(
+        zip(arrays.labels, arrays.modality_idx)
+    )
+    assert split_cache_nbytes(arrays) >= arrays.images.nbytes
 
 
 def test_synthetic_determinism():
