@@ -7,12 +7,17 @@ the batched InferenceEngine (medvae_tpu/serve/engine.py).
 Endpoints (JSON):
   GET  /healthz      -> {"status": "ok"}
   GET  /info         -> model family, resolution, buckets, modalities
-  POST /reconstruct  {"images_b64": <b64 .npy NHWC uint8>[, "modality": ...]}
-                     -> {"images_b64": <b64 .npy float32 [-1,1]>}
+  POST /reconstruct  {"images_b64": <b64 .npy NHWC uint8>[, "modality": ...,
+                      "output": "float32"|"uint8"]}
+                     -> {"images_b64": <b64 .npy float32 [-1,1] or uint8>}
                      (or {"images": nested lists} both ways)
   POST /encode       same request -> {"mean_b64", "logvar_b64"}
-  POST /sample       {"num_samples": N[, "modality": ..., "seed": S]}
-                     -> {"images_b64"}
+  POST /sample       {"num_samples": N[, "modality": ..., "seed": S,
+                      "output": ...]} -> {"images_b64"}
+
+`output: "uint8"` returns [0,255] images (converted on device — 4x smaller
+responses; uint8 is also the preferred *request* format: it is normalized
+on device, keeping uploads at 1 byte/px).
 
 `modality` may be a dataset name ("chestmnist"), an index, or a per-sample
 index list. Arrays ride base64-encoded .npy for exactness; nested lists are
@@ -84,7 +89,8 @@ def make_handler(engine):
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/reconstruct":
                     out = engine.reconstruct(
-                        _request_images(payload), _request_modality(payload)
+                        _request_images(payload), _request_modality(payload),
+                        output=str(payload.get("output", "float32")),
                     )
                     self._send(200, {"images_b64": _np_to_b64(out)})
                 elif self.path == "/encode":
@@ -103,6 +109,7 @@ def make_handler(engine):
                         int(payload.get("num_samples", 16)),
                         _request_modality(payload),
                         seed=payload.get("seed"),
+                        output=str(payload.get("output", "float32")),
                     )
                     self._send(200, {"images_b64": _np_to_b64(out)})
                 else:

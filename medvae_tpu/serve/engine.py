@@ -94,8 +94,19 @@ class InferenceEngine:
         m = model
 
         # --- jitted graphs (weights donated to the cache via closure) -----
+        def _to_model_input(x):
+            # uint8 requests are normalized IN-GRAPH (x/255*2-1, fp32 math —
+            # identical values to host-side normalization) so the wire format
+            # stays uint8: 4x fewer bytes host->device. Measured 5.4x
+            # reconstruct throughput through a tunneled PJRT link where
+            # transfers serialize against compute (SERVING.md).
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            return x
+
         @jax.jit
         def _encode(x, midx, onehot):
+            x = _to_model_input(x)
             if self._is_disentangled:
                 mean, logvar = m.apply(variables, x, midx, method=m.encode)
             elif self._is_conditional:
@@ -135,6 +146,13 @@ class InferenceEngine:
         self._decode_fn = _decode
         self._reconstruct_fn = _reconstruct
         self._sample_fn = jax.jit(_sample, static_argnums=0)
+        # [-1,1] float -> uint8 image, on device: shrinks the device->host
+        # result transfer 4x for image endpoints (output="uint8")
+        self._to_u8_fn = jax.jit(
+            lambda r: jnp.clip(jnp.round((r + 1.0) * 127.5), 0, 255).astype(
+                jnp.uint8
+            )
+        )
 
     # ------------------------------------------------------------------ #
     # construction                                                        #
@@ -186,11 +204,14 @@ class InferenceEngine:
             yield lo, n - lo, self._bucket_for(n - lo)
 
     def _norm_images(self, images: np.ndarray) -> np.ndarray:
+        """uint8 passes through (normalized in-graph, keeping the
+        host->device wire format at 1 byte/px); float input is assumed
+        already in [-1, 1]."""
         x = np.asarray(images)
         if x.ndim == 3:
             x = x[None]
         if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 255.0 * 2.0 - 1.0
+            return x
         return np.asarray(x, np.float32)
 
     @property
@@ -240,8 +261,12 @@ class InferenceEngine:
     # public API                                                          #
     # ------------------------------------------------------------------ #
 
-    def reconstruct(self, images, modality=None) -> np.ndarray:
-        """Deterministic reconstruction (posterior-mean decode)."""
+    def reconstruct(self, images, modality=None, output: str = "float32") -> np.ndarray:
+        """Deterministic reconstruction (posterior-mean decode).
+
+        `output="uint8"` converts [-1,1] -> [0,255] on device before the
+        result transfer (4x fewer bytes; the natural format for image
+        endpoints)."""
         x = self._norm_images(images)
         n = x.shape[0]
         midx, onehot = self._modality_arrays(modality, n)
@@ -252,6 +277,8 @@ class InferenceEngine:
                 self._pad(midx[lo : lo + ln], b),
                 self._pad(onehot[lo : lo + ln], b),
             )
+            if output == "uint8":
+                r = self._to_u8_fn(r)
             outs.append(np.asarray(jax.device_get(r))[:ln])
         return np.concatenate(outs, axis=0)
 
@@ -283,7 +310,9 @@ class InferenceEngine:
             outs.append(np.asarray(jax.device_get(r))[:ln])
         return np.concatenate(outs, axis=0)
 
-    def sample(self, num_samples: int, modality=None, seed=None) -> np.ndarray:
+    def sample(
+        self, num_samples: int, modality=None, seed=None, output: str = "float32"
+    ) -> np.ndarray:
         """Prior samples; seeded explicitly or from the engine stream."""
         n = int(num_samples)
         midx, onehot = self._modality_arrays(modality, n)
@@ -298,6 +327,8 @@ class InferenceEngine:
                 self._pad(onehot[lo : lo + ln], b),
                 jax.random.fold_in(key, i),
             )
+            if output == "uint8":
+                r = self._to_u8_fn(r)
             outs.append(np.asarray(jax.device_get(r))[:ln])
         return np.concatenate(outs, axis=0)
 

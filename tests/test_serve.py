@@ -123,6 +123,27 @@ def test_modality_string_and_scalar_broadcast():
     np.testing.assert_allclose(by_name, by_idx, atol=0)
 
 
+def test_reconstruct_output_uint8_matches_host_conversion():
+    """output="uint8" must equal converting the float32 result on host
+    ([-1,1] -> round -> clip to [0,255]); same for sample. Keeps the
+    device-side conversion (4x smaller result transfers) exact."""
+    _, _, eng = _base_engine(buckets=(4,))
+    rs = np.random.RandomState(1)
+    x_u8 = rs.randint(0, 255, (4, 16, 16, 3), np.uint8)
+    f = eng.reconstruct(x_u8)
+    u = eng.reconstruct(x_u8, output="uint8")
+    assert u.dtype == np.uint8
+    np.testing.assert_array_equal(
+        u, np.clip(np.round((f + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    )
+    s_f = eng.sample(3, seed=7)
+    s_u = eng.sample(3, seed=7, output="uint8")
+    assert s_u.dtype == np.uint8
+    np.testing.assert_array_equal(
+        s_u, np.clip(np.round((s_f + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    )
+
+
 def test_to_uint8_range():
     x = np.array([-1.0, 0.0, 1.0, 2.0, -2.0], np.float32)
     out = to_uint8(x)
