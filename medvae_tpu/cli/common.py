@@ -36,8 +36,11 @@ def find_run_config(ckpt_path: str, explicit: Optional[str] = None) -> Dict[str,
 
 
 def load_model_and_params(
-    ckpt_path: str, config_path: Optional[str] = None
+    ckpt_path: str, config_path: Optional[str] = None, use_ema: bool = False
 ) -> Tuple[Any, Dict, Dict[str, Any]]:
+    """`use_ema`: return the EMA weight average instead of the raw params
+    when the checkpoint carries one (training.ema_decay > 0) — the usual
+    deployment/eval choice. Errors loudly if the run kept no EMA."""
     cfg = find_run_config(ckpt_path, config_path)
     model = build_model(
         cfg["model"], precision=cfg.get("precision", "bf16"),
@@ -45,4 +48,12 @@ def load_model_and_params(
     )
     state = load_checkpoint(ckpt_path)
     params = state["params"] if "params" in state else state
+    if use_ema:
+        ema = state.get("ema_params") if isinstance(state, dict) else None
+        if ema is None:
+            raise ValueError(
+                f"use_ema requested but checkpoint {ckpt_path} has no "
+                "ema_params (train with training.ema_decay > 0)"
+            )
+        params = ema
     return model, params, cfg

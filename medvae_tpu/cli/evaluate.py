@@ -41,11 +41,16 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--fid", action="store_true",
                    help="FID between real and reconstructed feature distributions")
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the EMA weight average (requires "
+                        "training.ema_decay > 0)")
     p.add_argument("--mig", action="store_true",
                    help="MIG / beta-VAE probe of latents vs modality factor")
     args = p.parse_args(argv)
 
-    model, params, cfg = load_model_and_params(args.model_path, args.config)
+    model, params, cfg = load_model_and_params(
+        args.model_path, args.config, use_ema=args.use_ema
+    )
     variables = {"params": params}
     datamodule = instantiate(cfg["data"])
     datamodule.setup(None)

@@ -31,11 +31,16 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_seeds", type=int, default=1,
                    help="grids for N consecutive seeds (reference quick_generate)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="generate from the EMA weight average (requires "
+                        "training.ema_decay > 0)")
     p.add_argument("--per_modality", action="store_true",
                    help="one grid per modality (disentangled/conditional models)")
     args = p.parse_args(argv)
 
-    model, params, _ = load_model_and_params(args.model_path, args.config)
+    model, params, _ = load_model_and_params(
+        args.model_path, args.config, use_ema=args.use_ema
+    )
     variables = {"params": params}
     rng = jax.random.PRNGKey(args.seed)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -169,18 +169,11 @@ class InferenceEngine:
     ) -> "InferenceEngine":
         """`use_ema`: serve the EMA weight average when the checkpoint
         carries one (training.ema_decay > 0), the usual deployment choice."""
-        from medvae_tpu.cli.common import load_checkpoint, load_model_and_params
+        from medvae_tpu.cli.common import load_model_and_params
 
-        model, params, _ = load_model_and_params(ckpt_path, config_path)
-        if use_ema:
-            state = load_checkpoint(ckpt_path)
-            ema = state.get("ema_params")
-            if ema is None:
-                raise ValueError(
-                    f"use_ema=True but checkpoint {ckpt_path} has no "
-                    "ema_params (train with training.ema_decay > 0)"
-                )
-            params = ema
+        model, params, _ = load_model_and_params(
+            ckpt_path, config_path, use_ema=use_ema
+        )
         return cls(model, params, buckets=buckets, mesh=mesh)
 
     # ------------------------------------------------------------------ #
