@@ -92,7 +92,7 @@ def _synthetic_batch(batch_size: int, size: int) -> dict:
     }
 
 
-def _build(mesh, batch_size: int):
+def _build(mesh):
     """Model + jitted train step + initial state (the production CVAE path)."""
     from medvae_tpu.core.mesh import replicate
     from medvae_tpu.models import ConditionalVAE
@@ -209,7 +209,7 @@ def pipeline_bench() -> None:
     n_chips = int(np.prod(list(mesh.shape.values())))
     _, size, default_bs = _config()
     batch_size = int(os.environ.get("BENCH_BATCH", default_bs)) * n_chips
-    model, step, state, size = _build(mesh, batch_size)
+    model, step, state, size = _build(mesh)
 
     # synthetic dataset: enough for ~8 steps/epoch so shuffles are realistic
     steps_per_epoch = int(os.environ.get("BENCH_EPOCH_STEPS", 8))
@@ -282,7 +282,7 @@ def step_bench() -> None:
     n_chips = int(np.prod(list(mesh.shape.values())))
     _, size, default_bs = _config()
     batch_size = int(os.environ.get("BENCH_BATCH", default_bs)) * n_chips
-    model, step, state, size = _build(mesh, batch_size)
+    model, step, state, size = _build(mesh)
     batch = shard_batch(mesh, _synthetic_batch(batch_size, size))
 
     rng = jax.random.PRNGKey(0)

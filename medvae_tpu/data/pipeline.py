@@ -129,8 +129,10 @@ class DeviceFeeder:
             idx = order[lo:hi]
             valid = np.ones(len(idx), bool)
             if len(idx) < bs:
-                # wraparound pad, masked invalid (eval-mode tail)
-                pad = order[: bs - len(idx)]
+                # wraparound pad, masked invalid (eval-mode tail); modulo
+                # tiling so a shortfall larger than the dataset (bs > 2n)
+                # still fills the batch to its full static shape
+                pad = order[np.arange(bs - len(idx)) % n]
                 valid = np.concatenate([valid, np.zeros(len(pad), bool)])
                 idx = np.concatenate([idx, pad])
             if n_proc > 1:

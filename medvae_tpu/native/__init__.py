@@ -49,24 +49,28 @@ def _cache_dir() -> str:
 
 
 def _build() -> Optional[str]:
-    """Compile feeder.cpp -> cached .so; returns path or None."""
-    cache = _cache_dir()
-    tag = f"{os.path.getmtime(_SRC):.0f}_{sys.version_info[0]}"
-    so = os.path.join(cache, f"medvae_feeder_{tag}.so")
-    if os.path.exists(so):
-        return so
-    with tempfile.TemporaryDirectory(dir=cache) as tmp:
-        tmp_so = os.path.join(tmp, "feeder.so")
-        cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-            _SRC, "-o", tmp_so,
-        ]
-        try:
+    """Compile feeder.cpp -> cached .so; returns path or None.
+
+    Everything is inside one try/except: the fallback contract is that NO
+    host condition (readonly cache dir, missing compiler, full disk) can
+    raise out of the native layer — `None` here means the numpy path."""
+    try:
+        cache = _cache_dir()
+        tag = f"{os.path.getmtime(_SRC):.0f}_{sys.version_info[0]}"
+        so = os.path.join(cache, f"medvae_feeder_{tag}.so")
+        if os.path.exists(so):
+            return so
+        with tempfile.TemporaryDirectory(dir=cache) as tmp:
+            tmp_so = os.path.join(tmp, "feeder.so")
+            cmd = [
+                "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+                _SRC, "-o", tmp_so,
+            ]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
-        os.replace(tmp_so, so)  # atomic publish (concurrent builders race-safe)
-    return so
+            os.replace(tmp_so, so)  # atomic publish (concurrent builders race-safe)
+        return so
+    except Exception:
+        return None
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -48,6 +48,7 @@ def build_shard_map_train_step(
     normalize: bool = True,
     max_channels: int = 3,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Returns step(state, batch, rng) -> (state, metrics); batch axis must be
     divisible by the mesh's data-axis size."""
@@ -114,11 +115,21 @@ def build_shard_map_train_step(
         loss_dict = jax.lax.pmean(loss_dict, DATA_AXIS)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # host-driven plateau LR, same as the jit step (train/step.py)
+        updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay and new_ema is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                new_ema,
+                new_params,
+            )
         metrics = {f"train/{k}": v for k, v in loss_dict.items()}
         metrics["train/grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            ema_params=new_ema,
         )
         return new_state, metrics
 
@@ -161,6 +172,7 @@ def build_shard_map_gan_step(
     normalize: bool = True,
     max_channels: int = 3,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Explicit shard_map variant of the dual-optimizer GAN step.
 
@@ -215,15 +227,30 @@ def build_shard_map_gan_step(
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
 
         g_updates, new_opt = tx.update(g_grads, state.opt_state, state.params)
+        # plateau lr_scale applies to BOTH optimizers, same as the jit step
+        g_updates = jax.tree_util.tree_map(
+            lambda u: u * state.lr_scale, g_updates
+        )
         new_params = optax.apply_updates(state.params, g_updates)
         d_updates, new_disc_opt = disc_tx.update(
             d_grads, state.disc_opt_state, state.disc_params
         )
+        d_updates = jax.tree_util.tree_map(
+            lambda u: u * state.lr_scale, d_updates
+        )
         new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+        new_ema = state.ema_params
+        if ema_decay and new_ema is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                new_ema,
+                new_params,
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt,
+            ema_params=new_ema,
             disc_params=new_disc_params,
             disc_batch_stats=new_stats,
             disc_opt_state=new_disc_opt,

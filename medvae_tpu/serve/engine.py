@@ -41,10 +41,13 @@ DEFAULT_BUCKETS = (1, 8, 32, 128)
 
 
 def to_uint8(x: np.ndarray) -> np.ndarray:
-    """[-1, 1] float -> uint8 [0, 255] (transport encoding)."""
-    return np.clip((np.asarray(x, np.float32) + 1.0) * 127.5, 0, 255).astype(
-        np.uint8
-    )
+    """[-1, 1] float -> uint8 [0, 255] (transport encoding).
+
+    Rounds (not truncates) so the host helper is bit-identical to the
+    engine's on-device output="uint8" conversion."""
+    return np.clip(
+        np.round((np.asarray(x, np.float32) + 1.0) * 127.5), 0, 255
+    ).astype(np.uint8)
 
 
 class InferenceEngine:
@@ -230,6 +233,18 @@ class InferenceEngine:
                 midx = np.full((n,), midx[0], np.int32)
         if midx.shape[0] != n:
             raise ValueError(f"modality length {midx.shape[0]} != batch {n}")
+        # reject out-of-range indices (a clip would silently serve the wrong
+        # modality); the bound is what /info advertises for this model
+        bound = (
+            int(self.model.num_modalities)
+            if self._is_disentangled
+            else self._cond_width
+        )
+        if midx.size and (midx.min() < 0 or midx.max() >= bound):
+            raise ValueError(
+                f"modality index out of range [0, {bound}) for "
+                f"{type(self.model).__name__}: {midx[(midx < 0) | (midx >= bound)][:8]}"
+            )
         w = self._cond_width
         onehot = np.zeros((n, w), np.float32)
         onehot[np.arange(n), np.clip(midx, 0, w - 1)] = 1.0
@@ -356,7 +371,7 @@ class InferenceEngine:
             "modalities": (
                 list(MODALITY_NAMES[: m.num_modalities])
                 if self._is_disentangled
-                else list(MODALITY_NAMES)
+                else list(MODALITY_NAMES[: self._cond_width])
             ),
             "conditional": self._is_conditional or self._is_disentangled,
         }
@@ -377,18 +392,24 @@ class MicroBatcher:
         self.max_delay = float(max_delay_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # serializes the stop-check+enqueue in submit() against close()'s
+        # stop-set+drain: without it a submit could pass the check, lose the
+        # CPU, and enqueue AFTER the drain — a Future nobody ever resolves
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, image: np.ndarray, modality=None) -> Future:
-        if self._stop.is_set():
-            raise RuntimeError("MicroBatcher is closed")
-        fut: Future = Future()
-        self._q.put((np.asarray(image), modality, fut))
-        return fut
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("MicroBatcher is closed")
+            fut: Future = Future()
+            self._q.put((np.asarray(image), modality, fut))
+            return fut
 
     def close(self):
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._thread.join(timeout=5)
         # fail anything still queued so no caller hangs on fut.result()
         while True:

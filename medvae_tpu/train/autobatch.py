@@ -55,7 +55,10 @@ def probe_max_batch_size(
     def _round(b: int) -> int:
         return max(multiple, (b // multiple) * multiple)
 
-    start = _round(start)
+    # start must respect the cap: with max_batch below the default start
+    # (small autobatch_max or a tiny dataset) the first probe would otherwise
+    # try — and possibly return — a size above the configured bound
+    start = _round(min(start, max_batch))
     good: Optional[int] = None
     bad: Optional[int] = None
     b = start

@@ -547,16 +547,28 @@ def build_train_step(
             logs = jax.tree_util.tree_map(lambda v: v / k, logs)
 
         g_updates, new_opt = tx.update(g_grads_full, state.opt_state, state.params)
+        # host-driven plateau LR applies to BOTH optimizers (the disc already
+        # runs at lr·0.5 via its own schedule; lr_scale composes on top)
+        g_updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, g_updates)
         new_params = optax.apply_updates(state.params, g_updates)
         d_updates, new_disc_opt = disc_tx.update(
             d_grads, state.disc_opt_state, state.disc_params
         )
+        d_updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, d_updates)
         new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+        new_ema = state.ema_params
+        if ema_decay and new_ema is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                new_ema,
+                new_params,
+            )
 
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt,
+            ema_params=new_ema,
             disc_params=new_disc_params,
             disc_batch_stats=new_stats,
             disc_opt_state=new_disc_opt,

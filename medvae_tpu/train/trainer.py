@@ -230,6 +230,13 @@ class Trainer:
         explicit_sm = bool(
             (cfg.get("parallel") or {}).get("explicit_shard_map", False)
         )
+        if explicit_sm and int(tcfg.get("accumulate_grad_batches", 1) or 1) > 1:
+            raise NotImplementedError(
+                "training.accumulate_grad_batches > 1 is only supported by "
+                "the default jit step; drop parallel.explicit_shard_map "
+                "(the jit step emits the same collectives) or set "
+                "accumulate_grad_batches=1"
+            )
         if explicit_sm and use_gan:
             from medvae_tpu.parallel import build_shard_map_gan_step
 
@@ -243,6 +250,7 @@ class Trainer:
                 augment=bool(self.datamodule.augment_train),
                 normalize=bool(self.datamodule.normalize),
                 max_channels=self.datamodule.max_channels,
+                ema_decay=self.ema_decay,
             )
         elif explicit_sm:
             from medvae_tpu.parallel import build_shard_map_train_step
@@ -255,6 +263,7 @@ class Trainer:
                 augment=bool(self.datamodule.augment_train),
                 normalize=bool(self.datamodule.normalize),
                 max_channels=self.datamodule.max_channels,
+                ema_decay=self.ema_decay,
             )
         else:
             self.train_step = build_train_step(

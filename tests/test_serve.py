@@ -148,7 +148,8 @@ def test_to_uint8_range():
     x = np.array([-1.0, 0.0, 1.0, 2.0, -2.0], np.float32)
     out = to_uint8(x)
     assert out.dtype == np.uint8
-    np.testing.assert_array_equal(out, [0, 127, 255, 255, 0])
+    # 0.0 -> 127.5 -> rounds (half-to-even) to 128, matching the device path
+    np.testing.assert_array_equal(out, [0, 128, 255, 255, 0])
 
 
 def test_warmup_and_info():
@@ -185,6 +186,11 @@ def test_conditional_vae_nondefault_cond_dim():
     x = np.zeros((2, 16, 16, 3), np.uint8)
     out = eng.reconstruct(x, modality=np.array([0, 2], np.int32))
     assert out.shape == (2, 16, 16, 3)
+    # /info must advertise only this model's condition width, and indices
+    # beyond it are rejected, not silently clipped to the last modality
+    assert len(eng.info()["modalities"]) == 3
+    with pytest.raises(ValueError, match="out of range"):
+        eng.reconstruct(x, modality=np.array([0, 11], np.int32))
 
 
 def test_microbatcher_coalesces_and_matches_engine():

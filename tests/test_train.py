@@ -190,6 +190,61 @@ def test_gan_train_step_runs_and_gates():
     assert int(state.step) == 3
 
 
+def test_gan_step_updates_ema_and_honors_lr_scale():
+    """Regression: the GAN step must maintain ema_params (else --use_ema
+    serves init-era weights for GAN runs) and apply state.lr_scale to BOTH
+    optimizers (else ReduceLROnPlateau is a silent no-op under GAN)."""
+    model = BaseVAE(input_channels=3, **{**TINY, "resolution": 16})
+    tx = build_optimizer({"type": "adam", "lr": 1e-3}, None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    disc = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=2)
+    disc_vars = disc.init(jax.random.PRNGKey(1), jnp.zeros((2, 16, 16, 3)),
+                          train=False)
+    loss_cfg = {"type": "lpips_discriminator", "discriminator_factor": 0.5,
+                "perceptual_factor": 1.0, "kl_factor": 1e-4,
+                "discriminator_iter_start": 0}
+    gan_loss = make_gan_loss(loss_cfg)
+    frozen = gan_loss.init_frozen(jax.random.PRNGKey(2), 16)
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, jnp.zeros((2, 16, 16, 3)))
+
+    def fresh_state():
+        return replicate(mesh, create_train_state(
+            variables["params"], tx, frozen=frozen,
+            disc_variables=disc_vars, disc_tx=tx, ema_decay=0.5,
+        ))
+
+    step = build_train_step(
+        model, loss_cfg, tx, mesh, augment=False, max_channels=3,
+        disc=disc, disc_tx=tx, ema_decay=0.5, donate=False,
+    )
+    batch = shard_batch(mesh, _batch(n=8, size=16, c=3))
+    rng = jax.random.PRNGKey(5)
+
+    s0 = fresh_state()
+    s1, _ = step(s0, batch, rng)
+    # EMA moved towards the new params (decay 0.5 -> halfway)
+    p0 = jax.device_get(s0.params["encoder"]["conv_in"]["kernel"])
+    p1 = jax.device_get(s1.params["encoder"]["conv_in"]["kernel"])
+    e1 = jax.device_get(s1.ema_params["encoder"]["conv_in"]["kernel"])
+    assert not np.allclose(e1, p0)  # no longer frozen at init
+    np.testing.assert_allclose(e1, 0.5 * p0 + 0.5 * p1, atol=1e-6)
+
+    # lr_scale=0 must freeze BOTH generator and discriminator
+    s_frozen = fresh_state().replace(lr_scale=jnp.asarray(0.0, jnp.float32))
+    s2, _ = step(s_frozen, batch, rng)
+    np.testing.assert_array_equal(
+        jax.device_get(s2.params["encoder"]["conv_in"]["kernel"]), p0
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            jax.device_get(a), jax.device_get(b)
+        ),
+        s2.disc_params,
+        s_frozen.disc_params,
+    )
+
+
 def test_eval_step_masks_invalid():
     model = BaseVAE(input_channels=1, **TINY)
     tx = build_optimizer({"type": "adam", "lr": 1e-3}, None)
