@@ -452,24 +452,51 @@ class Trainer:
         last_val: Dict[str, float] = {}
         t_start = time.time()
         images_seen = 0
+        first_timed = False
         mid_val_at = (
             int(self.steps_per_epoch * val_interval) if 0 < val_interval < 1 else None
         )
+        # periodic within-epoch `last` refresh (preemption tolerance);
+        # 0 = epoch-boundary checkpoints only (the reference's cadence)
+        ckpt_every = int(
+            (self.cfg.get("checkpointing") or {}).get("every_n_steps", 0) or 0
+        )
+
+        # exact resume: continue at the restored optimizer step. Feeders are
+        # deterministic per (seed, epoch), so skipping the already-consumed
+        # batches of the partial epoch replays the exact remaining stream —
+        # a preempted run resumed from `last` sees the same data order it
+        # would have seen uninterrupted.
+        eff_steps = (
+            min(self.steps_per_epoch, limit_train)
+            if limit_train
+            else self.steps_per_epoch
+        )
+        start_step = int(jax.device_get(self.state.step))
+        start_epoch, skip_batches = divmod(start_step, eff_steps)
+        if start_step:
+            print(
+                f"Resuming at optimizer step {start_step} -> epoch "
+                f"{start_epoch}, skipping {skip_batches} consumed batches"
+            )
 
         if profile:
             jax.profiler.start_trace(os.path.join(self.logger.dir, "profile"))
 
         try:
-            for epoch in range(max_epochs):
+            for epoch in range(start_epoch, max_epochs):
                 epoch_t0 = time.time()
                 for i, batch in enumerate(feeder.epoch(epoch)):
                     if limit_train and i >= limit_train:
                         break
+                    if epoch == start_epoch and i < skip_batches:
+                        continue
                     self.state, metrics = self.train_step(self.state, batch, self.rng)
                     images_seen += self.datamodule.batch_size
                     step = epoch * self.steps_per_epoch + i + 1
-                    if step == 1:
+                    if not first_timed:
                         # exclude the first step's compile time from throughput
+                        first_timed = True
                         t_start = time.time()
                         images_seen = 0
                     if step % log_every == 0:
@@ -489,6 +516,8 @@ class Trainer:
                     if profile and step >= min(20, self.steps_per_epoch):
                         jax.profiler.stop_trace()
                         profile = False
+                    if ckpt_every and step % ckpt_every == 0:
+                        self.ckpt.save_step(self.state)  # refresh `last` only
                     if mid_val_at and (i + 1) == mid_val_at:
                         last_val = self.validate()
                         self.logger.log(last_val, step)

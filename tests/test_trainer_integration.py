@@ -51,6 +51,77 @@ def test_trainer_end_to_end(tmp_path, config_dir):
     assert os.path.exists(os.path.join(media, "epoch_0000_samples.png"))
 
 
+def _resume_cfg(tmp_path, config_dir, max_epochs, extra=()):
+    return compose(
+        config_dir,
+        overrides=[
+            "experiment=chest_base_vae_quick",
+            f"work_dir={tmp_path}",
+            "device=cpu",
+            f"training.max_epochs={max_epochs}",
+            "training.log_every_n_steps=100",
+            "+training.log_images_every_n_epochs=0",
+            "early_stopping.enabled=false",
+            "data.batch_size=128",
+            "model.hidden_channels=8",
+            "model.ch_mult=[1,2]",
+            "model.latent_dim=4",
+            *extra,
+        ],
+    )
+
+
+def test_resume_is_exact(tmp_path, config_dir):
+    """A run interrupted at an epoch boundary and resumed from `last` must
+    produce bitwise-identical parameters to the uninterrupted run: the fit
+    loop continues at state.step (same epochs, same deterministic shuffles,
+    same step-folded rngs) instead of replaying data from epoch 0."""
+    import jax
+
+    # uninterrupted: 2 epochs
+    t_full = Trainer(_resume_cfg(tmp_path / "full", config_dir, 2))
+    t_full.fit()
+    p_full = jax.device_get(t_full.state.params)
+    assert int(jax.device_get(t_full.state.step)) == 2 * t_full.steps_per_epoch
+
+    # interrupted: 1 epoch, then resume to 2
+    t_a = Trainer(_resume_cfg(tmp_path / "split", config_dir, 1))
+    t_a.fit()
+    t_b = Trainer(
+        _resume_cfg(tmp_path / "split", config_dir, 2, extra=["resume=true"])
+    )
+    assert int(jax.device_get(t_b.state.step)) == t_b.steps_per_epoch
+    t_b.fit()
+    p_split = jax.device_get(t_b.state.params)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), p_full, p_split
+    )
+
+
+def test_resume_mid_epoch_skips_consumed_batches(tmp_path, config_dir):
+    """Mid-epoch resume fast-forwards the deterministic feeder: a state
+    restored at step k of an epoch trains exactly steps_per_epoch - k more
+    steps to finish it, and checkpointing.every_n_steps refreshes `last`
+    within the epoch so such states exist after preemption."""
+    import jax
+
+    cfg = _resume_cfg(
+        tmp_path, config_dir, 1, extra=["+checkpointing.every_n_steps=3"]
+    )
+    t = Trainer(cfg)
+    spe = t.steps_per_epoch
+    assert spe >= 4
+    # simulate a preempted run restored mid-epoch (preserve dtype/placement)
+    t.state = t.state.replace(step=t.state.step * 0 + 3)
+    t.fit()
+    assert int(jax.device_get(t.state.step)) == spe  # 3 skipped, spe-3 run
+    ckpt_root = os.path.join(
+        str(tmp_path), "logs", "checkpoints", "chest_base_vae_quick"
+    )
+    assert os.path.isdir(os.path.join(ckpt_root, "last"))
+
+
 def test_media_logging_independent_of_val_cadence(tmp_path, config_dir):
     """Media grids must follow their own epoch cadence even when it never
     aligns with check_val_every_n_epoch (regression: the media call used to
