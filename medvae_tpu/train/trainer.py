@@ -350,9 +350,51 @@ class Trainer:
                 self.state = replicate(
                     self.mesh, self.ckpt.restore(host_state, target)
                 )
+                self._load_monitor_state()
                 print(f"Resumed from {target} at step {int(self.state.step)}")
             else:
                 print(f"resume requested but no checkpoint at {target}; fresh start")
+
+    # -- host-side monitor state (plateau / early-stop counters) ---------- #
+    # The device TrainState carries lr_scale, but the plateau best/patience
+    # counters and EarlyStopping best/counter live on host; persisting them
+    # beside the checkpoints keeps monitoring behavior identical across a
+    # preemption+resume, completing the exact-resume story.
+
+    def _save_monitor_state(self) -> None:
+        import json
+
+        blob: Dict[str, Any] = {}
+        if self._plateau is not None:
+            blob["plateau"] = {
+                "best": self._plateau["best"], "count": self._plateau["count"]
+            }
+        if self.early_stopping is not None:
+            blob["early_stopping"] = {
+                "best": self.early_stopping.best,
+                "counter": self.early_stopping.counter,
+            }
+        if blob:
+            path = os.path.join(self.ckpt.directory, "trainer_state.json")
+            with open(path, "w") as f:
+                json.dump(blob, f)
+
+    def _load_monitor_state(self) -> None:
+        import json
+
+        path = os.path.join(self.ckpt.directory, "trainer_state.json")
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            blob = json.load(f)
+        p = blob.get("plateau")
+        if p and self._plateau is not None:
+            self._plateau["best"] = p.get("best")
+            self._plateau["count"] = int(p.get("count", 0))
+        es = blob.get("early_stopping")
+        if es and self.early_stopping is not None:
+            self.early_stopping.best = es.get("best")
+            self.early_stopping.counter = int(es.get("counter", 0))
 
     # ------------------------------------------------------------------ #
 
@@ -542,7 +584,11 @@ class Trainer:
                     )
                     self.ckpt.save_step(self.state, last_val)
                     self._maybe_reduce_lr(last_val)
-                    if self.early_stopping and self.early_stopping.update(last_val):
+                    stop = bool(
+                        self.early_stopping and self.early_stopping.update(last_val)
+                    )
+                    self._save_monitor_state()
+                    if stop:
                         print(f"Early stopping at epoch {epoch}")
                         break
         finally:

@@ -99,6 +99,33 @@ def test_resume_is_exact(tmp_path, config_dir):
     )
 
 
+def test_resume_restores_monitor_state(tmp_path, config_dir):
+    """Plateau and EarlyStopping counters live on host; resume must restore
+    them from trainer_state.json so monitoring behavior (patience windows,
+    best-so-far) continues instead of resetting after preemption."""
+    extra = [
+        "training.scheduler.type=plateau",
+        "+training.scheduler.patience=50",
+        "early_stopping.enabled=true",
+        "early_stopping.patience=50",
+    ]
+    t1 = Trainer(_resume_cfg(tmp_path, config_dir, 1, extra=extra))
+    t1.fit()
+    assert t1.early_stopping.best is not None
+    assert t1._plateau["best"] is not None
+    assert os.path.exists(
+        os.path.join(t1.ckpt.directory, "trainer_state.json")
+    )
+
+    t2 = Trainer(
+        _resume_cfg(tmp_path, config_dir, 2, extra=extra + ["resume=true"])
+    )
+    assert t2.early_stopping.best == t1.early_stopping.best
+    assert t2.early_stopping.counter == t1.early_stopping.counter
+    assert t2._plateau["best"] == t1._plateau["best"]
+    assert t2._plateau["count"] == t1._plateau["count"]
+
+
 def test_resume_mid_epoch_skips_consumed_batches(tmp_path, config_dir):
     """Mid-epoch resume fast-forwards the deterministic feeder: a state
     restored at step k of an epoch trains exactly steps_per_epoch - k more
