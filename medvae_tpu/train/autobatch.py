@@ -109,6 +109,7 @@ def resolve_auto_batch_size(
     disc_vars=None,
     start: int = 64,
     max_batch: int = 65536,
+    ballast_bytes: int = 0,
     log: Callable[[str], None] = print,
 ) -> int:
     """Probe with the production train step (build_train_step) on synthetic
@@ -116,7 +117,10 @@ def resolve_auto_batch_size(
 
     The probe state carries the run's full memory footprint — frozen
     perceptual nets and the GAN discriminator (params + its optimizer slots)
-    when configured — so the selected size holds for the real run."""
+    when configured — so the selected size holds for the real run.
+    `ballast_bytes` is held as a device allocation for the probe's duration:
+    the Trainer passes the projected device-cache footprint (pinned AFTER
+    batch sizing) so the chosen size still fits once the caches land."""
     import jax
     import optax
 
@@ -148,6 +152,18 @@ def resolve_auto_batch_size(
     c = datamodule.max_channels
     rng = jax.random.fold_in(seed_key, 99)
 
+    ballast = None
+    if ballast_bytes > 0:
+        from medvae_tpu.core.mesh import data_sharding
+
+        nb = ((int(ballast_bytes) + n_data - 1) // n_data) * n_data
+        ballast = jax.jit(
+            lambda: jax.numpy.zeros((nb,), jax.numpy.uint8),
+            out_shardings=data_sharding(mesh, 1),
+        )()
+        ballast.block_until_ready()
+        log(f"autobatch: holding {nb / 1e6:.0f} MB cache ballast during probe")
+
     def try_fn(b: int) -> None:
         midx = (np.arange(b) % len(MODALITY_NAMES)).astype(np.int32)
         batch = {
@@ -172,6 +188,9 @@ def resolve_auto_batch_size(
         float(jax.device_get(metrics["train/loss"]))  # force execution
         del new_state
 
-    return probe_max_batch_size(
-        try_fn, start=start, max_batch=cap, multiple=n_data, log=log
-    )
+    try:
+        return probe_max_batch_size(
+            try_fn, start=start, max_batch=cap, multiple=n_data, log=log
+        )
+    finally:
+        del ballast  # free before the real caches allocate

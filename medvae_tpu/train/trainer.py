@@ -174,6 +174,7 @@ class Trainer:
                 disc_vars=disc_vars,
                 start=int(tcfg.get("autobatch_start", 64) or 64),
                 max_batch=int(tcfg.get("autobatch_max", 65536) or 65536),
+                ballast_bytes=self._projected_cache_bytes(),
             )
         bs = int(self.datamodule.batch_size)
         steps_per_epoch = max(1, len(self.datamodule.train_arrays) // bs)
@@ -414,27 +415,17 @@ class Trainer:
             return cached
         arrays = self.datamodule.split(split)
         seed = int(self.cfg.get("seed", 42))
-        mode = str(
-            (self.cfg.get("data") or {}).get("device_cache", "auto")
-        ).lower()
         feeder = None
-        if mode in ("auto", "true", "1") and jax.process_count() == 1:
-            from medvae_tpu.data.pipeline import (
-                DeviceCachedFeeder,
-                split_cache_nbytes,
-            )
+        if self._device_cache_wanted(arrays):
+            from medvae_tpu.data.pipeline import DeviceCachedFeeder
 
-            budget = int(
-                os.environ.get("MEDVAE_DEVICE_CACHE_BUDGET", 2 << 30)
-            )
-            if mode != "auto" or split_cache_nbytes(arrays) <= budget:
-                try:
-                    feeder = DeviceCachedFeeder(
-                        arrays, self.datamodule.batch_size, self.mesh,
-                        shuffle=shuffle, drop_last=drop_last, seed=seed,
-                    )
-                except Exception as e:  # OOM etc. — stream from host instead
-                    print(f"device_cache unavailable ({e}); streaming from host")
+            try:
+                feeder = DeviceCachedFeeder(
+                    arrays, self.datamodule.batch_size, self.mesh,
+                    shuffle=shuffle, drop_last=drop_last, seed=seed,
+                )
+            except Exception as e:  # OOM etc. — stream from host instead
+                print(f"device_cache unavailable ({e}); streaming from host")
         if feeder is None:
             feeder = DeviceFeeder(
                 arrays, self.datamodule.batch_size, self.mesh,
@@ -442,6 +433,35 @@ class Trainer:
             )
         self._feeders[key] = feeder
         return feeder
+
+    def _device_cache_wanted(self, arrays) -> bool:
+        """Would this split be pinned on device? (data.device_cache knob +
+        HBM budget; single-process only.)"""
+        mode = str(
+            (self.cfg.get("data") or {}).get("device_cache", "auto")
+        ).lower()
+        if mode not in ("auto", "true", "1") or jax.process_count() > 1:
+            return False
+        from medvae_tpu.data.pipeline import split_cache_nbytes
+
+        budget = int(os.environ.get("MEDVAE_DEVICE_CACHE_BUDGET", 2 << 30))
+        return mode != "auto" or split_cache_nbytes(arrays) <= budget
+
+    def _projected_cache_bytes(self) -> int:
+        """Total bytes the run's device caches will pin (train+val+test) —
+        the auto-batch probe holds this as ballast so the chosen batch size
+        still fits once the caches land."""
+        from medvae_tpu.data.pipeline import split_cache_nbytes
+
+        total = 0
+        for split in ("train", "val", "test"):
+            try:
+                arrays = self.datamodule.split(split)
+            except Exception:
+                continue
+            if self._device_cache_wanted(arrays):
+                total += split_cache_nbytes(arrays)
+        return total
 
     def validate(self, split: str = "val") -> Dict[str, float]:
         from medvae_tpu.data.medmnist import MODALITY_NAMES

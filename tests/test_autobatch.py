@@ -79,6 +79,18 @@ def test_probe_respects_cap_and_multiple():
     assert all(b % 16 == 0 for b in calls)
 
 
+def test_probe_start_clamped_to_cap():
+    """Regression: start > max_batch must not probe (or return) above the
+    cap — small autobatch_max or tiny datasets bound the first candidate."""
+    calls = []
+    got = probe_max_batch_size(
+        _try_fn_with_limit(10**9, calls), start=64, max_batch=32, multiple=16,
+        log=lambda *_: None,
+    )
+    assert got == 32
+    assert max(calls) <= 32
+
+
 def test_probe_propagates_non_oom_errors():
     def try_fn(b):
         raise ValueError("a real bug")
@@ -118,6 +130,9 @@ def test_trainer_resolves_auto_batch_size(tmp_path, config_dir):
     trainer = Trainer(cfg)
     bs = int(trainer.datamodule.batch_size)
     assert 32 <= bs <= 128
+    # the probe held the projected device-cache footprint as ballast so the
+    # chosen size still fits once the train/val/test caches are pinned
+    assert trainer._projected_cache_bytes() > 0
     # steps_per_epoch consistent with the probed size
     n = len(trainer.datamodule.train_arrays)
     assert trainer.steps_per_epoch == max(1, n // bs)
