@@ -306,7 +306,7 @@ class InferenceEngine:
             logvars.append(np.asarray(jax.device_get(logvar))[:ln])
         return np.concatenate(means), np.concatenate(logvars)
 
-    def decode(self, z, modality=None) -> np.ndarray:
+    def decode(self, z, modality=None, output: str = "float32") -> np.ndarray:
         z = np.asarray(z, np.float32)
         n = z.shape[0]
         midx, _ = self._modality_arrays(modality, n)
@@ -315,6 +315,8 @@ class InferenceEngine:
             r = self._decode_fn(
                 self._pad(z[lo : lo + ln], b), self._pad(midx[lo : lo + ln], b)
             )
+            if output == "uint8":
+                r = self._to_u8_fn(r)
             outs.append(np.asarray(jax.device_get(r))[:ln])
         return np.concatenate(outs, axis=0)
 
