@@ -103,8 +103,10 @@ def main(argv=None) -> int:
     latents, latent_labels = [], []
     for i, batch in enumerate(feeder.epoch(0)):
         m, x, rec, mean = eval_batch(batch, jax.random.fold_in(rng, i))
-        for k, v in m.items():
-            per_batch.setdefault(k, []).append(float(jax.device_get(v)))
+        # one device_get for the metric dict (per-key fetches pay one
+        # host<->device round trip each — ruinous through a tunneled link)
+        for k, v in jax.device_get(m).items():
+            per_batch.setdefault(k, []).append(float(v))
         if first_x is None:
             first_x = np.asarray(jax.device_get(x))
             first_rec = np.asarray(jax.device_get(rec))

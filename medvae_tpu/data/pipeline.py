@@ -228,11 +228,13 @@ class DeviceCachedFeeder:
             "valid": data_sharding(mesh, 1),
         }
 
+        shuffle_on = self.shuffle
+
         def assemble(images, labels, midx, perm, step):
             pos = step * bs + jnp.arange(bs, dtype=jnp.int32)
             valid = (pos < n).astype(jnp.float32)
             idx = pos % n
-            if self.shuffle:
+            if shuffle_on:
                 idx = jnp.take(perm, idx, axis=0)
             mi = jnp.take(midx, idx, axis=0)
             return {
@@ -246,6 +248,10 @@ class DeviceCachedFeeder:
 
         from medvae_tpu.core.mesh import replicated_sharding
 
+        # pure, traceable form — fused multi-step training (train/multistep.py)
+        # calls this INSIDE its lax.scan so batch assembly rides the same
+        # dispatch as the train steps
+        self.assemble_traced = assemble
         self._assemble = jax.jit(assemble, out_shardings=out_shardings)
         self._perm = jax.jit(
             lambda key: jax.random.permutation(key, n),
@@ -259,12 +265,21 @@ class DeviceCachedFeeder:
     def cache_nbytes(self) -> int:
         return sum(int(a.nbytes) for a in (self._images, self._labels, self._midx))
 
+    @property
+    def device_arrays(self):
+        """(images, labels, modality_idx) — the pinned device arrays, for
+        in-graph assembly by fused multi-step execution."""
+        return self._images, self._labels, self._midx
+
+    def epoch_perm(self, epoch: int) -> jax.Array:
+        """This epoch's device-resident shuffle permutation (placeholder when
+        shuffle is off — assemble ignores it then)."""
+        if not self.shuffle:
+            return jnp.zeros((1,), jnp.int32)
+        return self._perm(jax.random.fold_in(self._key, epoch))
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, jax.Array]]:
-        perm = (
-            self._perm(jax.random.fold_in(self._key, epoch))
-            if self.shuffle
-            else jnp.zeros((1,), jnp.int32)  # unused placeholder
-        )
+        perm = self.epoch_perm(epoch)
         for step in range(self.steps_per_epoch):
             yield self._assemble(
                 self._images, self._labels, self._midx, perm,

@@ -355,8 +355,13 @@ def build_train_step(
     ema_decay: float = 0.0,
     state_sharding=None,
     accumulate_grad_batches: int = 1,
+    raw: bool = False,
 ):
     """Build the jitted train step. Returns step(state, batch, rng) -> (state, metrics).
+
+    `raw=True` returns the UN-jitted step function instead — the building
+    block for fused multi-step execution (train/multistep.py), where several
+    steps run inside one `lax.scan` per device dispatch.
 
     `state_sharding`: optional sharding pytree for the train state (tensor
     parallelism over the `model` axis) — defaults to fully replicated.
@@ -576,6 +581,8 @@ def build_train_step(
         return new_state, logs
 
     fn = gan_train_step if use_gan else train_step
+    if raw:
+        return fn
     repl, _ = _shardings(mesh)
     jitted = jax.jit(
         fn,
@@ -594,9 +601,13 @@ def build_eval_step(
     max_channels: int = 3,
     disc=None,
     n_modalities: int = 0,
+    raw: bool = False,
 ):
     """Eval step: forward (no dropout) + loss + recon/KL/latent metrics, all
     masked by batch validity (reference validation_step :220-311).
+
+    `raw=True` returns the un-jitted step (for fused whole-split evaluation,
+    train/multistep.py).
 
     For the GAN loss (`disc` given), val terms follow the reference's
     validation semantics (lightning_module.py:264-273 with split="val"):
@@ -693,5 +704,7 @@ def build_eval_step(
         metrics["val/_count_by_mod"] = jnp.sum(onehot, axis=0)
         return metrics
 
+    if raw:
+        return eval_step
     repl, _ = _shardings(mesh)
     return jax.jit(eval_step, out_shardings=repl)

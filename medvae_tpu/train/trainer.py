@@ -267,11 +267,13 @@ class Trainer:
                 ema_decay=self.ema_decay,
             )
         else:
-            self.train_step = build_train_step(
-                self.model,
-                self.loss_cfg,
-                self.tx,
-                self.mesh,
+            # kept for fused multi-step execution (fit() builds the raw,
+            # un-jitted step with exactly these arguments)
+            self._step_kwargs = dict(
+                model=self.model,
+                loss_cfg=self.loss_cfg,
+                tx=self.tx,
+                mesh=self.mesh,
                 augment=bool(self.datamodule.augment_train),
                 normalize=bool(self.datamodule.normalize),
                 max_channels=self.datamodule.max_channels,
@@ -283,14 +285,17 @@ class Trainer:
                     tcfg.get("accumulate_grad_batches", 1) or 1
                 ),
             )
-        self.eval_step = build_eval_step(
-            self.model,
-            self.loss_cfg,
-            self.mesh,
+            self.train_step = build_train_step(**self._step_kwargs)
+        self._eval_kwargs = dict(
+            model=self.model,
+            loss_cfg=self.loss_cfg,
+            mesh=self.mesh,
             normalize=bool(self.datamodule.normalize),
             max_channels=self.datamodule.max_channels,
             disc=disc,
         )
+        self.eval_step = build_eval_step(**self._eval_kwargs)
+        self._eval_runners: Dict[str, Any] = {}
 
         # bookkeeping -----------------------------------------------------------
         ckpt_cfg = cfg.get("checkpointing", {}) or {}
@@ -463,26 +468,68 @@ class Trainer:
                 total += split_cache_nbytes(arrays)
         return total
 
+    def _eval_runner(self, split: str, feeder):
+        """Fused whole-split evaluator (one dispatch per validate call) when
+        the split is device-cached; None -> per-batch loop."""
+        if split in self._eval_runners:
+            return self._eval_runners[split]
+        from medvae_tpu.data.pipeline import DeviceCachedFeeder
+
+        runner = None
+        fused_mode = str(
+            (self.cfg.get("training") or {}).get("fused_steps", "auto")
+        ).lower()
+        if fused_mode not in ("0", "false", "off") and isinstance(
+            feeder, DeviceCachedFeeder
+        ):
+            from medvae_tpu.train.multistep import build_eval_chunk_runner
+            from medvae_tpu.train.step import build_eval_step as _bes
+
+            raw = _bes(**self._eval_kwargs, raw=True)
+            runner = build_eval_chunk_runner(raw, feeder)
+        self._eval_runners[split] = runner
+        return runner
+
     def validate(self, split: str = "val") -> Dict[str, float]:
         from medvae_tpu.data.medmnist import MODALITY_NAMES
 
         feeder = self._feeder(split, shuffle=False, drop_last=False)
-        acc: Dict[str, Any] = {}
-        weight_total = 0.0
-        psnr_by_mod = count_by_mod = None  # sized from the eval step's output
-        for batch in feeder.epoch(0):
-            m = self.eval_step(self.state, batch, self.rng)
-            w = float(jax.device_get(m.pop("val/_weight")))
-            p_mod = np.asarray(jax.device_get(m.pop("val/_psnr_by_mod")))
-            c_mod = np.asarray(jax.device_get(m.pop("val/_count_by_mod")))
-            if psnr_by_mod is None:
-                psnr_by_mod = np.zeros_like(p_mod)
-                count_by_mod = np.zeros_like(c_mod)
-            psnr_by_mod += p_mod
-            count_by_mod += c_mod
-            weight_total += w
-            for k, v in m.items():
-                acc[k] = acc.get(k, 0.0) + float(jax.device_get(v)) * w
+        runner = self._eval_runner(split, feeder)
+        if runner is not None:
+            stacked = runner(
+                self.state, 0, feeder.steps_per_epoch, self.rng
+            )
+            w = np.asarray(stacked.pop("val/_weight"), np.float64)
+            psnr_by_mod = np.asarray(
+                stacked.pop("val/_psnr_by_mod")
+            ).sum(axis=0)
+            count_by_mod = np.asarray(
+                stacked.pop("val/_count_by_mod")
+            ).sum(axis=0)
+            weight_total = float(w.sum())
+            acc = {
+                k: float(np.sum(np.asarray(v, np.float64) * w))
+                for k, v in stacked.items()
+            }
+        else:
+            acc = {}
+            weight_total = 0.0
+            psnr_by_mod = count_by_mod = None  # sized from the step's output
+            for batch in feeder.epoch(0):
+                # one device_get per batch (per-key fetches pay one round
+                # trip each)
+                m = jax.device_get(self.eval_step(self.state, batch, self.rng))
+                w = float(m.pop("val/_weight"))
+                p_mod = np.asarray(m.pop("val/_psnr_by_mod"))
+                c_mod = np.asarray(m.pop("val/_count_by_mod"))
+                if psnr_by_mod is None:
+                    psnr_by_mod = np.zeros_like(p_mod)
+                    count_by_mod = np.zeros_like(c_mod)
+                psnr_by_mod += p_mod
+                count_by_mod += c_mod
+                weight_total += w
+                for k, v in m.items():
+                    acc[k] = acc.get(k, 0.0) + float(v) * w
         out = {k: v / max(weight_total, 1.0) for k, v in acc.items()}
         # per-modality PSNR for modalities present in the split
         for mod in range(0 if psnr_by_mod is None else len(psnr_by_mod)):
@@ -542,28 +589,52 @@ class Trainer:
                 f"{start_epoch}, skipping {skip_batches} consumed batches"
             )
 
+        # fused multi-step execution (training.fused_steps: auto|off): when
+        # the train split is device-cached and the default jit step is in use,
+        # run chunks of steps inside one lax.scan per dispatch — removes the
+        # per-step host round trip (train/multistep.py has the measurements).
+        # Same batches/rng/updates as the per-step loop, equal up to XLA
+        # reassociation (tests/test_multistep.py).
+        fused_runner = None
+        fused_plan = None
+        from medvae_tpu.data.pipeline import DeviceCachedFeeder
+
+        if (
+            str(tcfg.get("fused_steps", "auto")).lower()
+            not in ("0", "false", "off")
+            and isinstance(feeder, DeviceCachedFeeder)
+            and getattr(self, "_step_kwargs", None) is not None
+            and self._state_sharding is None  # TP keeps explicit shardings
+            and mid_val_at is None
+            and not profile
+        ):
+            from medvae_tpu.train.multistep import build_chunk_runner, chunk_plan
+
+            raw = build_train_step(**self._step_kwargs, raw=True)
+            fused_runner = build_chunk_runner(raw, feeder)
+            fused_plan = chunk_plan
+
         if profile:
             jax.profiler.start_trace(os.path.join(self.logger.dir, "profile"))
 
         try:
             for epoch in range(start_epoch, max_epochs):
                 epoch_t0 = time.time()
-                for i, batch in enumerate(feeder.epoch(epoch)):
-                    if limit_train and i >= limit_train:
-                        break
-                    if epoch == start_epoch and i < skip_batches:
-                        continue
-                    self.state, metrics = self.train_step(self.state, batch, self.rng)
-                    images_seen += self.datamodule.batch_size
-                    step = epoch * self.steps_per_epoch + i + 1
+
+                def log_train(step, metrics, epoch=epoch):
+                    nonlocal first_timed, t_start, images_seen
                     if not first_timed:
                         # exclude the first step's compile time from throughput
                         first_timed = True
                         t_start = time.time()
                         images_seen = 0
                     if step % log_every == 0:
+                        # ONE device_get for the whole dict: per-key fetches
+                        # are one host<->device round trip EACH — ~20 scalars
+                        # x tunnel RTT dominated entire epochs before compute
                         host = {
-                            k: float(jax.device_get(v)) for k, v in metrics.items()
+                            k: float(v)
+                            for k, v in jax.device_get(metrics).items()
                         }
                         host["train/images_per_sec"] = images_seen / (
                             time.time() - t_start
@@ -575,14 +646,49 @@ class Trainer:
                             f"loss {host.get('train/loss', host.get('train/total_loss', float('nan'))):.4f} "
                             f"({host['train/images_per_sec']:.0f} img/s)"
                         )
-                    if profile and step >= min(20, self.steps_per_epoch):
-                        jax.profiler.stop_trace()
-                        profile = False
-                    if ckpt_every and step % ckpt_every == 0:
-                        self.ckpt.save_step(self.state)  # refresh `last` only
-                    if mid_val_at and (i + 1) == mid_val_at:
-                        last_val = self.validate()
-                        self.logger.log(last_val, step)
+
+                if fused_runner is not None:
+                    # fused multi-step: K steps per dispatch via lax.scan with
+                    # in-graph batch assembly; chunk boundaries land on every
+                    # log/checkpoint cadence so host actions are unchanged
+                    eff = (
+                        min(self.steps_per_epoch, limit_train)
+                        if limit_train
+                        else self.steps_per_epoch
+                    )
+                    g_base = epoch * self.steps_per_epoch
+                    s0 = skip_batches if epoch == start_epoch else 0
+                    for g0, nst in fused_plan(
+                        g_base + eff, g_base + s0, log_every, ckpt_every
+                    ):
+                        self.state, metrics = fused_runner(
+                            self.state, epoch, g0 - g_base, nst, self.rng
+                        )
+                        images_seen += nst * self.datamodule.batch_size
+                        step = g0 + nst
+                        log_train(step, metrics)
+                        if ckpt_every and step % ckpt_every == 0:
+                            self.ckpt.save_step(self.state)
+                else:
+                    for i, batch in enumerate(feeder.epoch(epoch)):
+                        if limit_train and i >= limit_train:
+                            break
+                        if epoch == start_epoch and i < skip_batches:
+                            continue
+                        self.state, metrics = self.train_step(
+                            self.state, batch, self.rng
+                        )
+                        images_seen += self.datamodule.batch_size
+                        step = epoch * self.steps_per_epoch + i + 1
+                        log_train(step, metrics)
+                        if profile and step >= min(20, self.steps_per_epoch):
+                            jax.profiler.stop_trace()
+                            profile = False
+                        if ckpt_every and step % ckpt_every == 0:
+                            self.ckpt.save_step(self.state)  # refresh `last`
+                        if mid_val_at and (i + 1) == mid_val_at:
+                            last_val = self.validate()
+                            self.logger.log(last_val, step)
 
                 # media cadence is independent of the validation cadence:
                 # check_val_every_n_epoch=5 with log_images_every_n_epochs=10
