@@ -99,6 +99,63 @@ def test_fused_chunks_match_per_step_loop():
     )
 
 
+def test_fused_gan_chunks_match_per_step_loop():
+    """The dual-optimizer GAN step must fuse identically: generator and
+    discriminator params, BatchNorm stats, and the step gate all thread
+    through the scan carry. SGD keeps the comparison exact."""
+    from medvae_tpu.nn.discriminator import NLayerDiscriminator
+    from medvae_tpu.train.step import make_gan_loss
+
+    dm = MedMNISTDataModule(["pathmnist"], batch_size=16, size=28,
+                            root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    feeder = DeviceCachedFeeder(dm.train_arrays, 16, mesh, shuffle=True,
+                                drop_last=True, seed=5)
+    model = BaseVAE(input_channels=3, **TINY)
+    tx = build_optimizer({"type": "sgd", "lr": 1e-3, "momentum": 0.0}, None)
+    disc = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=2)
+    disc_vars = disc.init(jax.random.PRNGKey(1), jnp.zeros((2, 28, 28, 3)),
+                          train=False)
+    loss_cfg = {"type": "lpips_discriminator", "discriminator_factor": 0.5,
+                "perceptual_factor": 1.0, "kl_factor": 1e-4,
+                "discriminator_iter_start": 2}  # gate flips mid-chunk
+    gan_loss = make_gan_loss(loss_cfg)
+    frozen = gan_loss.init_frozen(jax.random.PRNGKey(2), 28)
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, jnp.zeros((2, 28, 28, 3)))
+    state = replicate(mesh, create_train_state(
+        variables["params"], tx, frozen=frozen,
+        disc_variables=disc_vars, disc_tx=tx,
+    ))
+    kwargs = dict(
+        model=model, loss_cfg=loss_cfg, tx=tx, mesh=mesh,
+        augment=False, normalize=True, max_channels=3,
+        disc=disc, disc_tx=tx,
+    )
+    rng = jax.random.PRNGKey(9)
+
+    step = build_train_step(**kwargs, donate=False)
+    s_ref = state
+    for i, batch in enumerate(feeder.epoch(0)):
+        if i >= 4:
+            break
+        s_ref, _ = step(s_ref, batch, rng)
+
+    raw = build_train_step(**kwargs, raw=True)
+    runner = build_chunk_runner(raw, feeder, donate=False)
+    s_fused, _ = runner(state, 0, 0, 4, rng)
+
+    for tree_name in ("params", "disc_params", "disc_batch_stats"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                jax.device_get(a), jax.device_get(b), atol=1e-6
+            ),
+            getattr(s_fused, tree_name),
+            getattr(s_ref, tree_name),
+        )
+
+
 def test_fused_validate_matches_per_batch(tmp_path, config_dir):
     """Whole-split scanned evaluation must reproduce the per-batch loop's
     metrics (weighted means, per-modality PSNR, tail masking) to float
