@@ -41,6 +41,12 @@ from medvae_tpu.utils.logging import MetricLogger
 from medvae_tpu.utils.training_utils import EarlyStopping
 
 
+# training.fused_steps=auto fuses multi-step/whole-split execution only when
+# at least this many dispatches would be saved over the run — each distinct
+# fused chunk size costs one extra XLA compile, so short runs lose by fusing
+FUSED_AUTO_MIN_STEPS = int(os.environ.get("MEDVAE_FUSED_MIN_STEPS", 200))
+
+
 def build_model(model_cfg: Dict[str, Any], precision: str = "bf16", use_pallas: bool = True):
     """Instantiate a model from config with the TPU precision policy applied."""
     from medvae_tpu.core.precision import default_policy
@@ -476,12 +482,22 @@ class Trainer:
         from medvae_tpu.data.pipeline import DeviceCachedFeeder
 
         runner = None
-        fused_mode = str(
-            (self.cfg.get("training") or {}).get("fused_steps", "auto")
-        ).lower()
-        if fused_mode not in ("0", "false", "off") and isinstance(
-            feeder, DeviceCachedFeeder
-        ):
+        tcfg = self.cfg.get("training") or {}
+        fused_mode = str(tcfg.get("fused_steps", "auto")).lower()
+        # auto: fuse only when the eval dispatches saved over the run's
+        # expected validate calls amortize the one-time chunk compile
+        validates = (
+            int(tcfg.get("max_epochs", 1))
+            // max(1, int(tcfg.get("check_val_every_n_epoch", 1)))
+            + 2
+        )
+        worthwhile = (
+            feeder.steps_per_epoch * validates >= FUSED_AUTO_MIN_STEPS
+        )
+        if (
+            fused_mode in ("on", "true", "1")
+            or (fused_mode == "auto" and worthwhile)
+        ) and isinstance(feeder, DeviceCachedFeeder):
             from medvae_tpu.train.multistep import build_eval_chunk_runner
             from medvae_tpu.train.step import build_eval_step as _bes
 
@@ -599,9 +615,18 @@ class Trainer:
         fused_plan = None
         from medvae_tpu.data.pipeline import DeviceCachedFeeder
 
+        fused_mode = str(tcfg.get("fused_steps", "auto")).lower()
+        # "auto" fuses only when the run is long enough to amortize the extra
+        # chunk-executable compiles (each distinct chunk size is one XLA
+        # compile — minutes through a remote-compile tunnel, so a 5-epoch
+        # 16-step quick run would LOSE time fusing while a 640-step/epoch run
+        # gains 11x); "on" forces fusion, "off" disables.
+        planned = eff_steps * max(0, max_epochs - start_epoch)
         if (
-            str(tcfg.get("fused_steps", "auto")).lower()
-            not in ("0", "false", "off")
+            (
+                fused_mode in ("on", "true", "1")
+                or (fused_mode == "auto" and planned >= FUSED_AUTO_MIN_STEPS)
+            )
             and isinstance(feeder, DeviceCachedFeeder)
             and getattr(self, "_step_kwargs", None) is not None
             and self._state_sharding is None  # TP keeps explicit shardings

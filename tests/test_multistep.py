@@ -175,6 +175,8 @@ def test_fused_validate_matches_per_batch(tmp_path, config_dir):
             "model.hidden_channels=8",
             "model.ch_mult=[1,2]",
             "model.latent_dim=4",
+            # force fusion: this run is below the auto amortization threshold
+            "+training.fused_steps=on",
         ],
     )
     t = Trainer(cfg)
@@ -219,7 +221,7 @@ def test_trainer_fused_matches_unfused(tmp_path, config_dir):
         t.fit()
         return jax.device_get(t.state.params), int(jax.device_get(t.state.step))
 
-    p_fused, n_fused = run("fused", [])
+    p_fused, n_fused = run("fused", ["+training.fused_steps=on"])
     p_plain, n_plain = run("plain", ["+training.fused_steps=off"])
     assert n_fused == n_plain
     jax.tree_util.tree_map(
