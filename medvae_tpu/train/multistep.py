@@ -107,13 +107,16 @@ def build_eval_chunk_runner(raw_eval: Callable, feeder) -> Callable:
 
 
 def chunk_plan(
-    total_steps: int, start: int, *boundaries_every: int
+    total_steps: int, start: int, *boundaries_every: int,
+    extra: Tuple[int, ...] = (),
 ) -> Tuple[Tuple[int, int], ...]:
     """((step0, n_steps), ...) covering [start, total_steps), cut at every
     multiple of each cadence in `boundaries_every` (log_every,
-    checkpoint-every, ...; 0/negative cadences ignored) so the host regains
+    checkpoint-every, ...; 0/negative cadences ignored) and at each absolute
+    step in `extra` (e.g. a mid-epoch validation point) so the host regains
     control exactly where the per-step loop would have acted."""
     cuts = {total_steps}
+    cuts.update(extra)
     for every in boundaries_every:
         if every and every > 0:
             cuts.update(range(0, total_steps + 1, every))

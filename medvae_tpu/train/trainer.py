@@ -630,7 +630,6 @@ class Trainer:
             and isinstance(feeder, DeviceCachedFeeder)
             and getattr(self, "_step_kwargs", None) is not None
             and self._state_sharding is None  # TP keeps explicit shardings
-            and mid_val_at is None
             and not profile
         ):
             from medvae_tpu.train.multistep import build_chunk_runner, chunk_plan
@@ -638,6 +637,7 @@ class Trainer:
             raw = build_train_step(**self._step_kwargs, raw=True)
             fused_runner = build_chunk_runner(raw, feeder)
             fused_plan = chunk_plan
+        self._fused_active = fused_runner is not None
 
         if profile:
             jax.profiler.start_trace(os.path.join(self.logger.dir, "profile"))
@@ -683,8 +683,10 @@ class Trainer:
                     )
                     g_base = epoch * self.steps_per_epoch
                     s0 = skip_batches if epoch == start_epoch else 0
+                    extra = (g_base + mid_val_at,) if mid_val_at else ()
                     for g0, nst in fused_plan(
-                        g_base + eff, g_base + s0, log_every, ckpt_every
+                        g_base + eff, g_base + s0, log_every, ckpt_every,
+                        extra=extra,
                     ):
                         self.state, metrics = fused_runner(
                             self.state, epoch, g0 - g_base, nst, self.rng
@@ -694,6 +696,9 @@ class Trainer:
                         log_train(step, metrics)
                         if ckpt_every and step % ckpt_every == 0:
                             self.ckpt.save_step(self.state)
+                        if mid_val_at and step - g_base == mid_val_at:
+                            last_val = self.validate()
+                            self.logger.log(last_val, step)
                 else:
                     for i, batch in enumerate(feeder.epoch(epoch)):
                         if limit_train and i >= limit_train:

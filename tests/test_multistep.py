@@ -33,6 +33,8 @@ def test_chunk_plan_cuts_at_every_cadence():
     assert chunk_plan(10, 3, 5) == ((3, 2), (5, 5))
     # global coordinates: cuts at global multiples
     assert chunk_plan(26, 16, 10) == ((16, 4), (20, 6))
+    # absolute extra cuts (mid-epoch validation points)
+    assert chunk_plan(26, 16, 10, extra=(23,)) == ((16, 4), (20, 3), (23, 3))
 
 
 def _setup(bs=32, optimizer=None):
@@ -197,6 +199,8 @@ def test_trainer_fused_matches_unfused(tmp_path, config_dir):
     from medvae_tpu.config import compose
     from medvae_tpu.train.trainer import Trainer
 
+    trainers = {}
+
     def run(sub, extra):
         cfg = compose(
             config_dir,
@@ -209,6 +213,9 @@ def test_trainer_fused_matches_unfused(tmp_path, config_dir):
                 "+training.log_images_every_n_epochs=0",
                 "training.optimizer.type=sgd",
                 "+training.optimizer.momentum=0.0",
+                # bf16 compute would put scan-vs-standalone reassociation
+                # noise at ~1e-4 (bf16 ulp), swamping the exactness check
+                "precision=fp32",
                 "early_stopping.enabled=false",
                 "data.batch_size=128",
                 "model.hidden_channels=8",
@@ -219,10 +226,14 @@ def test_trainer_fused_matches_unfused(tmp_path, config_dir):
         )
         t = Trainer(cfg)
         t.fit()
+        trainers[sub] = t
         return jax.device_get(t.state.params), int(jax.device_get(t.state.step))
 
+    # the quick training config sets val_check_interval=0.5, so this also
+    # covers mid-epoch validation inside the fused loop (an extra chunk cut)
     p_fused, n_fused = run("fused", ["+training.fused_steps=on"])
     p_plain, n_plain = run("plain", ["+training.fused_steps=off"])
+    assert trainers["fused"]._fused_active and not trainers["plain"]._fused_active
     assert n_fused == n_plain
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
