@@ -609,6 +609,14 @@ def build_eval_step(
     `raw=True` returns the un-jitted step (for fused whole-split evaluation,
     train/multistep.py).
 
+    NB (disentangled model): val/separation_loss and val/contrastive_loss are
+    per-batch quantities; the unshuffled val split is modality-contiguous
+    (concatenated datasets), so most eval batches hold ONE modality and the
+    terms degenerate to 0 — the same thing the reference's per-batch
+    validation_step produces. Meaningful separation numbers come from
+    training metrics (shuffled, batch-global) and cli/analyze.py (global
+    centroids over the whole split).
+
     For the GAN loss (`disc` given), val terms follow the reference's
     validation semantics (lightning_module.py:264-273 with split="val"):
     val/loss = perceptual_factor·LPIPS + kl_factor·KL (+ clip term), with
