@@ -710,6 +710,16 @@ def build_eval_step(
         )
         metrics["val/_psnr_by_mod"] = jnp.sum(per_sample[:, None] * onehot, axis=0)
         metrics["val/_count_by_mod"] = jnp.sum(onehot, axis=0)
+        if isinstance(model, DisentangledConditionalVAE):
+            # per-modality z_modality sums (valid-masked): validate() derives
+            # the exact WHOLE-SPLIT centroid distance from these — the
+            # research memo's headline disentanglement metric
+            # (MODALITY_SEPARATION_RESEARCH.md: centroid distance > 10),
+            # which the per-batch separation term cannot provide on the
+            # modality-contiguous val split (see NB above)
+            _, z_mod = model.partition_latent(outputs["z"])
+            zm = z_mod.astype(jnp.float32) * v[:, None]
+            metrics["val/_zmod_sum_by_mod"] = onehot.T @ zm
         return metrics
 
     if raw:

@@ -511,6 +511,7 @@ class Trainer:
 
         feeder = self._feeder(split, shuffle=False, drop_last=False)
         runner = self._eval_runner(split, feeder)
+        zmod_sum = None
         if runner is not None:
             stacked = runner(
                 self.state, 0, feeder.steps_per_epoch, self.rng
@@ -522,6 +523,9 @@ class Trainer:
             count_by_mod = np.asarray(
                 stacked.pop("val/_count_by_mod")
             ).sum(axis=0)
+            zs = stacked.pop("val/_zmod_sum_by_mod", None)
+            if zs is not None:
+                zmod_sum = np.asarray(zs, np.float64).sum(axis=0)
             weight_total = float(w.sum())
             acc = {
                 k: float(np.sum(np.asarray(v, np.float64) * w))
@@ -538,15 +542,31 @@ class Trainer:
                 w = float(m.pop("val/_weight"))
                 p_mod = np.asarray(m.pop("val/_psnr_by_mod"))
                 c_mod = np.asarray(m.pop("val/_count_by_mod"))
+                zs = m.pop("val/_zmod_sum_by_mod", None)
                 if psnr_by_mod is None:
                     psnr_by_mod = np.zeros_like(p_mod)
                     count_by_mod = np.zeros_like(c_mod)
+                if zs is not None:
+                    zs = np.asarray(zs, np.float64)
+                    zmod_sum = zs if zmod_sum is None else zmod_sum + zs
                 psnr_by_mod += p_mod
                 count_by_mod += c_mod
                 weight_total += w
                 for k, v in m.items():
                     acc[k] = acc.get(k, 0.0) + float(v) * w
         out = {k: v / max(weight_total, 1.0) for k, v in acc.items()}
+        if zmod_sum is not None:
+            # exact whole-split modality-centroid separation (the research
+            # memo's headline metric; per-batch separation degenerates to 0
+            # on the modality-contiguous val ordering)
+            present = count_by_mod > 0
+            if int(present.sum()) >= 2:
+                cents = zmod_sum[present] / count_by_mod[present, None]
+                d = np.sqrt(
+                    ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                )
+                iu = np.triu_indices(len(cents), 1)
+                out["val/centroid_distance"] = float(d[iu].mean())
         # per-modality PSNR for modalities present in the split
         for mod in range(0 if psnr_by_mod is None else len(psnr_by_mod)):
             if count_by_mod[mod] > 0:

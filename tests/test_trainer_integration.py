@@ -149,6 +149,41 @@ def test_resume_mid_epoch_skips_consumed_batches(tmp_path, config_dir):
     assert os.path.isdir(os.path.join(ckpt_root, "last"))
 
 
+def test_disentangled_validate_reports_global_centroid(tmp_path, config_dir):
+    """validate() must report the whole-split modality-centroid distance for
+    the disentangled model (the research memo's headline metric — per-batch
+    separation degenerates to 0 on the modality-contiguous val ordering),
+    identically from the fused and per-batch eval paths."""
+    from medvae_tpu.config import compose
+
+    cfg = compose(
+        config_dir,
+        overrides=[
+            "experiment=disentangled_multi_modal_cvae_quick",
+            f"work_dir={tmp_path}",
+            "device=cpu",
+            "training.max_epochs=1",
+            "early_stopping.enabled=false",
+            "data.batch_size=64",
+            "model.hidden_channels=8",
+            "model.ch_mult=[1,2]",
+            "+training.fused_steps=on",
+        ],
+    )
+    t = Trainer(cfg)
+    fused = t.validate()
+    assert t._eval_runners.get("val") is not None
+    assert fused.get("val/centroid_distance", 0.0) > 0.0
+    # degenerate per-batch terms stay (reference-faithful), global metric adds
+    assert "val/separation_loss" in fused
+    t._eval_runners["val"] = None  # per-batch loop must agree
+    loop = t.validate()
+    np.testing.assert_allclose(
+        fused["val/centroid_distance"], loop["val/centroid_distance"],
+        rtol=1e-5,
+    )
+
+
 def test_media_logging_independent_of_val_cadence(tmp_path, config_dir):
     """Media grids must follow their own epoch cadence even when it never
     aligns with check_val_every_n_epoch (regression: the media call used to
