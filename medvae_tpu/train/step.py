@@ -613,9 +613,12 @@ def build_eval_step(
     per-batch quantities; the unshuffled val split is modality-contiguous
     (concatenated datasets), so most eval batches hold ONE modality and the
     terms degenerate to 0 — the same thing the reference's per-batch
-    validation_step produces. Meaningful separation numbers come from
-    training metrics (shuffled, batch-global) and cli/analyze.py (global
-    centroids over the whole split).
+    validation_step produces. The TRAIN separation term is also a shaky
+    separation readout: with ~B/M samples per modality per batch, centroid
+    distances carry O(sigma*sqrt(2D*M/B)) sampling noise (measured: train
+    separation −72 while the whole-split centroid distance was 0.8).
+    Honest separation numbers are `val/centroid_distance` (exact whole-split
+    centroids, emitted below) and cli/analyze.py.
 
     For the GAN loss (`disc` given), val terms follow the reference's
     validation semantics (lightning_module.py:264-273 with split="val"):
