@@ -30,6 +30,41 @@ from medvae_tpu.data.medmnist import (
 )
 
 
+def stratified_order(
+    modality_idx: np.ndarray, rng: np.random.RandomState
+) -> np.ndarray:
+    """A permutation of [0, n) whose every contiguous window holds a
+    near-proportional share of each modality.
+
+    The batch-global separation / contrastive losses of the disentangled
+    model (reference src/models/disentangled_conditional_vae.py:305-386) are
+    only informative when a batch covers several modalities; a plain uniform
+    shuffle at small batch sizes leaves batches modality-starved and the
+    losses collapse (measured: bs 32 quick config fails the memo thresholds,
+    bs 128 passes — README separation section). Stratification fixes the
+    sampler instead of the batch size: shuffle within each modality, place
+    member r of a c-member modality at fractional position (r + u)/c (u a
+    per-epoch random phase), and sort all samples by position. Every window
+    of B consecutive samples then contains B·c_m/n ± 1 samples of modality m
+    — guaranteed coverage at any batch size ≥ the modality count, with
+    contents still uniformly random within each modality.
+    """
+    n = len(modality_idx)
+    members_all = []
+    pos_all = []
+    for m in np.unique(modality_idx):
+        members = np.flatnonzero(modality_idx == m)
+        rng.shuffle(members)
+        c = len(members)
+        members_all.append(members)
+        pos_all.append((np.arange(c) + rng.uniform()) / c)
+    idx = np.concatenate(members_all)
+    pos = np.concatenate(pos_all)
+    order = idx[np.argsort(pos, kind="stable")]
+    assert len(order) == n
+    return order
+
+
 class DeviceFeeder:
     """Iterates device-resident batches over a split.
 
@@ -37,6 +72,8 @@ class DeviceFeeder:
       tail with wraparound in eval mode (mask carried so metrics stay exact)
     * shards the batch axis over the mesh's `data` axis
     * keeps one batch in flight (double buffering)
+    * `stratify=True` (train only, needs shuffle) draws modality-stratified
+      orders so every batch covers all modalities — see `stratified_order`
     """
 
     def __init__(
@@ -48,12 +85,14 @@ class DeviceFeeder:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        stratify: bool = False,
     ):
         self.arrays = arrays
         self.batch_size = batch_size
         self.mesh = mesh
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.stratify = bool(stratify) and shuffle
         self.prefetch = max(1, prefetch)
         self._rng = np.random.RandomState(seed)
         n = len(arrays)
@@ -106,7 +145,10 @@ class DeviceFeeder:
         order = np.arange(n)
         if self.shuffle:
             self._rng.seed((epoch + 1) * 9973 + 7)
-            self._rng.shuffle(order)
+            if self.stratify:
+                order = stratified_order(self.arrays.modality_idx, self._rng)
+            else:
+                self._rng.shuffle(order)
 
         bs = self.batch_size
         from collections import deque
@@ -166,6 +208,13 @@ class DeviceCachedFeeder:
     drop_last / wraparound-pad + `valid` mask) except the shuffle order comes
     from `jax.random` instead of `np.random` — both uniform, orders differ.
     Single-process only: multi-host runs keep the per-host `DeviceFeeder`.
+
+    `stratify=True` makes `epoch_perm` emit a modality-stratified order (see
+    `stratified_order`): the slot→(modality, rank) interleave pattern is
+    static (computed once on host from the split's modality labels, with
+    equal-count groups tying into an exact round-robin), and each epoch only
+    the within-modality shuffles are drawn — on device, so the fused
+    multi-step path (train/multistep.py) stays zero-host-transfer.
     """
 
     def __init__(
@@ -177,6 +226,7 @@ class DeviceCachedFeeder:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,  # accepted for API parity with DeviceFeeder; unused
+        stratify: bool = False,
     ):
         if jax.process_count() > 1:
             raise ValueError(
@@ -253,10 +303,44 @@ class DeviceCachedFeeder:
         # dispatch as the train steps
         self.assemble_traced = assemble
         self._assemble = jax.jit(assemble, out_shardings=out_shardings)
-        self._perm = jax.jit(
-            lambda key: jax.random.permutation(key, n),
-            out_shardings=replicated_sharding(mesh),
-        )
+        self.stratify = bool(stratify) and self.shuffle
+        if self.stratify:
+            midx_h = np.asarray(arrays.modality_idx)
+            present = np.unique(midx_h)
+            counts = np.array([np.sum(midx_h == m) for m in present])
+            maxc = int(counts.max())
+            members = np.zeros((len(present), maxc), np.int32)
+            pos_l, mod_l, rank_l = [], [], []
+            for g, (m, c) in enumerate(zip(present, counts)):
+                members[g, :c] = np.flatnonzero(midx_h == m)
+                # deterministic 0.5 phase → equal-count groups tie and the
+                # stable sort interleaves them exact-round-robin
+                pos_l.append((np.arange(c) + 0.5) / c)
+                mod_l.append(np.full(c, g))
+                rank_l.append(np.arange(c))
+            slots = np.argsort(np.concatenate(pos_l), kind="stable")
+            slot_mod = jnp.asarray(np.concatenate(mod_l)[slots], jnp.int32)
+            slot_rank = jnp.asarray(np.concatenate(rank_l)[slots], jnp.int32)
+            members_j = jnp.asarray(members)
+            valid = jnp.asarray(
+                np.arange(maxc)[None, :] < counts[:, None]
+            )
+
+            def strat_perm(key):
+                u = jax.random.uniform(key, (len(present), maxc))
+                u = jnp.where(valid, u, jnp.inf)
+                within = jnp.argsort(u, axis=1)  # valid ranks first, shuffled
+                shuffled = jnp.take_along_axis(members_j, within, axis=1)
+                return shuffled[slot_mod, slot_rank]
+
+            self._perm = jax.jit(
+                strat_perm, out_shardings=replicated_sharding(mesh)
+            )
+        else:
+            self._perm = jax.jit(
+                lambda key: jax.random.permutation(key, n),
+                out_shardings=replicated_sharding(mesh),
+            )
 
     def __len__(self) -> int:
         return self._n

@@ -426,6 +426,12 @@ class Trainer:
             return cached
         arrays = self.datamodule.split(split)
         seed = int(self.cfg.get("seed", 42))
+        # data.stratify_batches: modality-stratified training batches so the
+        # batch-global separation/contrastive losses see every modality each
+        # step (default on for the disentangled experiment configs)
+        stratify = shuffle and bool(
+            (self.cfg.get("data") or {}).get("stratify_batches", False)
+        )
         feeder = None
         if self._device_cache_wanted(arrays):
             from medvae_tpu.data.pipeline import DeviceCachedFeeder
@@ -434,6 +440,7 @@ class Trainer:
                 feeder = DeviceCachedFeeder(
                     arrays, self.datamodule.batch_size, self.mesh,
                     shuffle=shuffle, drop_last=drop_last, seed=seed,
+                    stratify=stratify,
                 )
             except Exception as e:  # OOM etc. — stream from host instead
                 print(f"device_cache unavailable ({e}); streaming from host")
@@ -441,6 +448,7 @@ class Trainer:
             feeder = DeviceFeeder(
                 arrays, self.datamodule.batch_size, self.mesh,
                 shuffle=shuffle, drop_last=drop_last, seed=seed,
+                stratify=stratify,
             )
         self._feeders[key] = feeder
         return feeder

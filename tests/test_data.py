@@ -245,3 +245,127 @@ def test_synthetic_banner_single_source_of_truth():
     assert "SYNTHETIC DATA" in banner
     assert "chestmnist" in banner and "pathmnist" in banner
     assert "evaluating" in banner and "/nonexistent" in banner
+
+
+# ---------------------------------------------------------------------- #
+# Modality-stratified batch sampling (data.stratify_batches)
+# ---------------------------------------------------------------------- #
+
+_FIVE = ["chestmnist", "octmnist", "pathmnist", "dermamnist", "pneumoniamnist"]
+
+
+def _coverage_ok(order, midx, bs, num_mod):
+    """Every full batch window must contain every modality, with counts
+    within ±1 of the proportional share."""
+    n = len(order)
+    counts = np.bincount(midx, minlength=midx.max() + 1).astype(float)
+    for lo in range(0, n - bs + 1, bs):
+        window = midx[order[lo : lo + bs]]
+        got = np.bincount(window, minlength=len(counts))
+        for m in np.flatnonzero(counts):
+            share = bs * counts[m] / n
+            assert got[m] >= 1, f"batch at {lo} missing modality {m}"
+            assert abs(got[m] - share) <= 1.0 + 1e-9, (
+                f"batch at {lo}: modality {m} count {got[m]} vs share {share}"
+            )
+
+
+def test_stratified_order_host():
+    """Host-side stratified order: a permutation whose every bs-window covers
+    all modalities proportionally — the property that keeps the disentangled
+    model's batch-global separation/contrastive losses informative at bs 32."""
+    from medvae_tpu.data.pipeline import stratified_order
+
+    dm = MedMNISTDataModule(_FIVE, batch_size=32, size=28, root="/nonexistent")
+    dm.setup(None)
+    arrays = dm.val_arrays
+    rng = np.random.RandomState(0)
+    order = stratified_order(arrays.modality_idx, rng)
+    np.testing.assert_array_equal(np.sort(order), np.arange(len(arrays)))
+    _coverage_ok(order, arrays.modality_idx, 32, 5)
+    # a second draw shuffles within modalities
+    order2 = stratified_order(arrays.modality_idx, rng)
+    assert not np.array_equal(order, order2)
+
+
+def test_stratified_host_feeder_batches():
+    dm = MedMNISTDataModule(_FIVE, batch_size=32, size=28, root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    feeder = DeviceFeeder(dm.val_arrays, 32, mesh, shuffle=True,
+                          drop_last=True, stratify=True)
+    seen = []
+    for b in feeder.epoch(0):
+        mi = np.asarray(b["modality_idx"])
+        assert len(np.unique(mi)) == 5  # every batch covers all modalities
+        seen.append(mi)
+    # epoch is still a full permutation of the split
+    got = np.sort(np.concatenate(seen))
+    want = np.sort(dm.val_arrays.modality_idx[: len(got)])
+    assert np.bincount(got, minlength=12).sum() == len(got)
+
+
+def test_stratified_cached_feeder_perm():
+    """Device-side stratified epoch_perm: permutation + coverage + fresh
+    within-modality shuffles per epoch, all computed on device (the fused
+    multi-step path consumes this exact array in-graph)."""
+    dm = MedMNISTDataModule(_FIVE, batch_size=32, size=28, root="/nonexistent")
+    dm.setup(None)
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    arrays = dm.val_arrays
+    dev = DeviceCachedFeeder(arrays, 32, mesh, shuffle=True, drop_last=True,
+                             stratify=True)
+    p0 = np.asarray(dev.epoch_perm(0))
+    p1 = np.asarray(dev.epoch_perm(1))
+    np.testing.assert_array_equal(np.sort(p0), np.arange(len(arrays)))
+    np.testing.assert_array_equal(np.sort(p1), np.arange(len(arrays)))
+    assert not np.array_equal(p0, p1)
+    _coverage_ok(p0, arrays.modality_idx, 32, 5)
+    _coverage_ok(p1, arrays.modality_idx, 32, 5)
+    # equal-count groups interleave round-robin: the static slot pattern is
+    # deterministic, so the modality sequence is identical across epochs
+    np.testing.assert_array_equal(
+        arrays.modality_idx[p0], arrays.modality_idx[p1]
+    )
+    # and batches assembled from the perm carry matching onehot/channels
+    b = next(iter(dev.epoch(0)))
+    mi = np.asarray(b["modality_idx"])
+    assert len(np.unique(mi)) == 5
+    np.testing.assert_array_equal(
+        np.asarray(b["channels"]), CHANNELS_BY_MODALITY_INDEX[mi]
+    )
+
+
+def test_stratified_unbalanced_groups():
+    """Unequal modality counts: coverage stays proportional (rare modality
+    appears in every window once its share rounds to ≥1)."""
+    from medvae_tpu.data.medmnist import SplitArrays
+    from medvae_tpu.data.pipeline import stratified_order
+
+    rs = np.random.RandomState(1)
+    midx = np.concatenate([np.zeros(600, np.int32), np.full(200, 2, np.int32),
+                           np.full(200, 4, np.int32)])
+    rs.shuffle(midx)
+    order = stratified_order(midx, rs)
+    np.testing.assert_array_equal(np.sort(order), np.arange(1000))
+    # windows of 40: expect 24 of mod0, 8 of mod2, 8 of mod4 (±1)
+    for lo in range(0, 1000 - 40 + 1, 40):
+        got = np.bincount(midx[order[lo:lo + 40]], minlength=5)
+        assert abs(got[0] - 24) <= 1 and abs(got[2] - 8) <= 1 \
+            and abs(got[4] - 8) <= 1
+
+    # cached feeder path on the same unbalanced layout
+    arrays = SplitArrays(
+        images=np.zeros((1000, 4, 4, 3), np.uint8),
+        labels=np.zeros(1000, np.int32),
+        modality_idx=midx, channels=3,
+    )
+    mesh = create_mesh(MeshSpec(data=1, model=1), jax.devices()[:1])
+    dev = DeviceCachedFeeder(arrays, 40, mesh, shuffle=True, drop_last=True,
+                             stratify=True)
+    p = np.asarray(dev.epoch_perm(7))
+    np.testing.assert_array_equal(np.sort(p), np.arange(1000))
+    for lo in range(0, 1000 - 40 + 1, 40):
+        got = np.bincount(midx[p[lo:lo + 40]], minlength=5)
+        assert abs(got[0] - 24) <= 1 and abs(got[2] - 8) <= 1 \
+            and abs(got[4] - 8) <= 1
