@@ -1,9 +1,19 @@
 """On-device evaluation metrics (PSNR / SSIM / MSE / MAE / KL / latent stats).
 
-Parity: reference src/utils/metrics.py:14-101 (torchmetrics PSNR/SSIM with
-data_range=2.0 for [−1,1] images, KL stats, latent mean/std/sparsity). All
-metrics are jnp, masked by the batch validity mask (eval tail padding), and
-accumulated on device — no host sync per batch (SURVEY §7 throughput note).
+Parity: reference src/utils/metrics.py:14-101 (torchmetrics PSNR/SSIM, KL
+stats, latent mean/std/sparsity). All metrics are jnp, masked by the batch
+validity mask (eval tail padding), and accumulated on device — no host sync
+per batch (SURVEY §7 throughput note).
+
+SSIM re-creates torchmetrics' algorithm exactly (gaussian 11×11 σ1.5,
+population moments, reflect-pad + crop ≡ VALID windows); value and gradient
+are pinned against a torch float64 oracle in tests/test_ssim_oracle.py.
+
+data_range quirk: the reference passes data_range=1.0 (metrics.py:39,44)
+although its images are normalized to [−1,1] — understating PSNR by 6.02 dB
+and shifting SSIM's c1/c2 stabilizers. We default to the correct 2.0; when
+comparing val/psnr against reference-logged numbers (e.g. 16.67 dB), add
+6.02 dB to theirs or pass data_range=1.0 here.
 """
 
 from __future__ import annotations
