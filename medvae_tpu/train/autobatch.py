@@ -4,8 +4,9 @@ New capability beyond the reference (which hand-pins batch_size per config;
 README roadmap item "per-resolution batch auto-sizing"). `data.batch_size=auto`
 makes the Trainer probe with the REAL jitted train step — same model, loss,
 optimizer-state footprint, remat policy — doubling until the device reports
-RESOURCE_EXHAUSTED, then settling on the largest working size (one midpoint
-refinement), rounded down to a multiple of the mesh's batch extent.
+RESOURCE_EXHAUSTED, then binary-searching the bracket to the exact maximum
+(in units of the mesh's batch extent) under a total compile budget
+(`training.autobatch_probes`, default 16 candidates).
 
 Each candidate costs one XLA compile (~20-40 s on a tunneled TPU), so the
 probe is opt-in, logs its trajectory, and is bounded by `max_batch` and the
@@ -43,17 +44,39 @@ def probe_max_batch_size(
     max_batch: int = 65536,
     multiple: int = 1,
     log: Callable[[str], None] = print,
+    max_probes: int = 16,
 ) -> int:
     """Largest b (multiple of `multiple`, ≤ max_batch) for which try_fn(b)
     does not OOM.
 
     try_fn runs one real step at batch b and raises on failure; OOM errors
     (is_oom_error) shrink the search, any other exception propagates.
-    Strategy: double from `start` until failure or cap, then one midpoint
-    refinement between the last success and the first failure.
+    Strategy: double from `start` until failure or cap, then binary-search
+    the (last success, first failure) bracket down to `multiple` granularity
+    — i.e. the exact maximum in units of `multiple` — subject to a total
+    compile budget of `max_probes` try_fn calls (each candidate costs one XLA
+    compile). When the budget runs out mid-bisection the largest verified
+    size is returned; the bracket halves every probe, so even a tight budget
+    lands within bracket/2^k of the true maximum. No candidate is ever
+    probed twice.
     """
     def _round(b: int) -> int:
         return max(multiple, (b // multiple) * multiple)
+
+    probes = 0
+
+    def attempt(b: int) -> bool:
+        nonlocal probes
+        probes += 1
+        try:
+            try_fn(b)
+            log(f"autobatch: {b} fits")
+            return True
+        except Exception as e:  # noqa: BLE001 - filtered by is_oom_error
+            if not is_oom_error(e):
+                raise
+            log(f"autobatch: {b} OOM")
+            return False
 
     # start must respect the cap: with max_batch below the default start
     # (small autobatch_max or a tiny dataset) the first probe would otherwise
@@ -63,36 +86,35 @@ def probe_max_batch_size(
     bad: Optional[int] = None
     b = start
     while True:
-        try:
-            try_fn(b)
+        if attempt(b):
             good = b
-            log(f"autobatch: {b} fits")
             if b >= max_batch:
+                log(f"autobatch: selected {good} (cap)")
                 return _round(b)
             b = min(b * 2, max_batch)
-        except Exception as e:  # noqa: BLE001 - filtered by is_oom_error
-            if not is_oom_error(e):
-                raise
+        else:
             bad = b
-            log(f"autobatch: {b} OOM")
             if good is not None:
                 break
             if b <= multiple:
                 raise MemoryError(
                     f"even batch {b} does not fit device memory"
-                ) from e
+                )
             b = _round(max(multiple, b // 2))
-    # one midpoint refinement (compile cost bounds how fine we search)
-    mid = _round((good + bad) // 2)
-    if mid > good:
-        try:
-            try_fn(mid)
+    # bisect the bracket to exact `multiple` granularity, compile-bounded
+    while bad - good > multiple and probes < max_probes:
+        mid = _round((good + bad) // 2)
+        if mid <= good or mid >= bad:
+            break
+        if attempt(mid):
             good = mid
-            log(f"autobatch: {mid} fits")
-        except Exception as e:  # noqa: BLE001
-            if not is_oom_error(e):
-                raise
-            log(f"autobatch: {mid} OOM")
+        else:
+            bad = mid
+    if bad - good > multiple:
+        log(
+            f"autobatch: probe budget ({max_probes}) reached with bracket "
+            f"({good}, {bad}); keeping {good}"
+        )
     log(f"autobatch: selected {good}")
     return good
 
@@ -109,6 +131,7 @@ def resolve_auto_batch_size(
     disc_vars=None,
     start: int = 64,
     max_batch: int = 65536,
+    max_probes: int = 16,
     ballast_bytes: int = 0,
     log: Callable[[str], None] = print,
 ) -> int:
@@ -190,7 +213,8 @@ def resolve_auto_batch_size(
 
     try:
         return probe_max_batch_size(
-            try_fn, start=start, max_batch=cap, multiple=n_data, log=log
+            try_fn, start=start, max_batch=cap, multiple=n_data, log=log,
+            max_probes=max_probes,
         )
     finally:
         del ballast  # free before the real caches allocate

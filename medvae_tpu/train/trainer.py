@@ -180,6 +180,7 @@ class Trainer:
                 disc_vars=disc_vars,
                 start=int(tcfg.get("autobatch_start", 64) or 64),
                 max_batch=int(tcfg.get("autobatch_max", 65536) or 65536),
+                max_probes=int(tcfg.get("autobatch_probes", 16) or 16),
                 ballast_bytes=self._projected_cache_bytes(),
             )
         bs = int(self.datamodule.batch_size)

@@ -1,10 +1,12 @@
 """Automatic batch sizing: probe logic (unit) + data.batch_size=auto through
 the full Trainer (integration).
 
-The probe must find the largest fitting batch with doubling + one midpoint
-refinement, only ever swallow genuine OOM errors, and round to the mesh's
-batch extent; the Trainer must resolve `auto` before optimizer/scheduler
-construction so steps_per_epoch is consistent with the probed size.
+The probe must find the EXACT largest fitting batch (in units of the mesh's
+batch extent) via doubling + compile-budgeted binary search, only ever
+swallow genuine OOM errors, never probe a candidate twice, and degrade
+gracefully (largest verified size) when the probe budget runs out; the
+Trainer must resolve `auto` before optimizer/scheduler construction so
+steps_per_epoch is consistent with the probed size.
 """
 
 import os
@@ -38,25 +40,51 @@ def test_is_oom_error_classification():
     assert not is_oom_error(ValueError("shape mismatch"))
 
 
-def test_probe_doubles_then_refines():
+def test_probe_finds_exact_maximum():
+    """Binary search converges to the true maximum (multiple=1 → exact)."""
     calls = []
-    # limit 700: 64,128,256,512 fit; 1024 OOM; midpoint (512+1024)//2=768 OOM
     got = probe_max_batch_size(
         _try_fn_with_limit(700, calls), start=64, max_batch=4096,
         log=lambda *_: None,
     )
-    assert got == 512
-    assert calls == [64, 128, 256, 512, 1024, 768]
+    assert got == 700
+    assert calls[:5] == [64, 128, 256, 512, 1024]  # doubling phase
+    assert len(calls) == len(set(calls))  # no candidate probed twice
+    assert len(calls) <= 16
 
 
-def test_probe_midpoint_refinement_wins():
+def test_probe_exact_in_multiple_units():
+    """With a mesh batch extent, the result is the largest fitting multiple —
+    within one `multiple` step of the true maximum, per the search contract."""
+    for limit in (700, 800, 1023, 1025):
+        calls = []
+        got = probe_max_batch_size(
+            _try_fn_with_limit(limit, calls), start=64, max_batch=4096,
+            multiple=8, log=lambda *_: None,
+        )
+        assert got == (limit // 8) * 8, f"limit={limit}: got {got}"
+        assert all(b % 8 == 0 for b in calls)
+        assert len(calls) == len(set(calls))
+
+
+def test_probe_budget_bounds_compiles_and_degrades_gracefully():
+    """When max_probes is hit mid-bisection the probe returns the largest
+    VERIFIED size (never an untested one) and stops compiling."""
     calls = []
-    # limit 800: ... 512 fits, 1024 OOM, midpoint 768 fits -> 768
     got = probe_max_batch_size(
-        _try_fn_with_limit(800, calls), start=64, max_batch=4096,
-        log=lambda *_: None,
+        _try_fn_with_limit(700, calls), start=64, max_batch=4096,
+        max_probes=7, log=lambda *_: None,
     )
-    assert got == 768
+    assert len(calls) == 7
+    assert 512 <= got <= 700  # verified, and at least the doubling-phase best
+    assert got in calls  # never returns an unprobed size
+    # budget below the doubling phase still finishes the bracket it can
+    calls2 = []
+    got2 = probe_max_batch_size(
+        _try_fn_with_limit(700, calls2), start=64, max_batch=4096,
+        max_probes=1, log=lambda *_: None,
+    )
+    assert got2 == 512  # doubling runs to the first failure regardless
 
 
 def test_probe_backs_off_when_start_ooms():
