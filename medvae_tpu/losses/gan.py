@@ -69,14 +69,19 @@ class LPIPSWithDiscriminator:
     use_biomedclip_loss: bool = False
     biomedclip_factor: float = 1.0
     clip_encoder: str = "simple"  # "simple" (CNN fallback) or "vit" (ViT-B/32)
+    # pretrained-weight grafts (scripts/export_torch_weights.py npz format);
+    # None keeps the fixed-seed random trunks
+    weights_path: "str | None" = None
+    clip_weights_path: "str | None" = None
 
     def __post_init__(self):
-        self.perceptual_loss = LPIPSLoss()
+        self.perceptual_loss = LPIPSLoss(weights_path=self.weights_path)
         self.biomed_clip_loss = (
             BiomedCLIPLoss(
                 compute_rec_loss=True,
                 compute_lat_loss=False,
                 encoder=self.clip_encoder,
+                weights_path=self.clip_weights_path,
             )
             if self.use_biomedclip_loss
             else None

@@ -168,6 +168,44 @@ def make_criterion(loss_cfg: Dict[str, Any], model) -> Callable:
             separation_weight=float(loss_cfg.get("separation_weight", 0.1)),
             contrastive_weight=float(loss_cfg.get("contrastive_weight", 0.05)),
         )
+        # optional perceptual terms for the full flagship config (BASELINE
+        # configs item 4: "Disentangled multi-modal CVAE with LPIPS +
+        # BiomedCLIP feature-matching losses"); weights default 0 = off.
+        # Frozen nets are initialized by the Trainer into state.frozen.
+        p_w = float(loss_cfg.get("perceptual_weight", 0.0) or 0.0)
+        bc_w = float(loss_cfg.get("biomedclip_weight", 0.0) or 0.0)
+        if p_w or bc_w:
+            lp = LPIPSLoss() if p_w else None
+            bc = (
+                BiomedCLIPLoss(
+                    compute_rec_loss=True,
+                    compute_lat_loss=False,
+                    encoder=loss_cfg.get("clip_encoder", "simple"),
+                )
+                if bc_w
+                else None
+            )
+
+            def criterion(frozen, outputs, targets):
+                d = crit(outputs, targets)
+                total = d["loss"]
+                if lp is not None:
+                    pl = jnp.nan_to_num(
+                        lp(frozen["lpips"], targets, outputs["reconstruction"])
+                    )
+                    d["p_loss"] = pl
+                    total = total + p_w * pl
+                if bc is not None:
+                    bl = jnp.nan_to_num(
+                        bc(frozen["clip"], targets,
+                           rec=outputs["reconstruction"])
+                    )
+                    d["bc_loss"] = bl
+                    total = total + bc_w * bl
+                d["loss"] = total
+                return d
+
+            return criterion
         return lambda frozen, outputs, targets: crit(outputs, targets)
 
     if loss_type == "lpips":
@@ -204,6 +242,8 @@ def make_gan_loss(loss_cfg: Dict[str, Any]) -> LPIPSWithDiscriminator:
         use_biomedclip_loss=bool(loss_cfg.get("use_biomedclip_loss", False)),
         biomedclip_factor=float(loss_cfg.get("biomedclip_factor", 1.0)),
         clip_encoder=str(loss_cfg.get("clip_encoder", "simple")),
+        weights_path=loss_cfg.get("weights_path") or None,
+        clip_weights_path=loss_cfg.get("clip_weights_path") or None,
     )
 
 

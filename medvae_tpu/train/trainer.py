@@ -157,17 +157,41 @@ class Trainer:
         elif str(self.loss_cfg.get("type")) == "lpips":
             from medvae_tpu.losses.perceptual import LPIPSLoss
 
+            # loss.weights_path: pretrained AlexNet graft (npz emitted by
+            # scripts/export_torch_weights.py); absent → fixed-seed random
+            # trunk (banner printed by LPIPSLoss.init)
             frozen = {
-                "lpips": LPIPSLoss().init(
+                "lpips": LPIPSLoss(
+                    weights_path=self.loss_cfg.get("weights_path") or None
+                ).init(
                     jax.random.fold_in(self.seed_key, 11), self.datamodule.size
                 )
             }
         elif str(self.loss_cfg.get("type")) == "biomedclip":
             frozen = {
                 "clip": BiomedCLIPLoss(
-                    encoder=self.loss_cfg.get("clip_encoder", "simple")
+                    encoder=self.loss_cfg.get("clip_encoder", "simple"),
+                    weights_path=self.loss_cfg.get("clip_weights_path")
+                    or None,
                 ).init(jax.random.fold_in(self.seed_key, 11))
             }
+        elif str(self.loss_cfg.get("type")) == "disentangled_vae":
+            # full flagship: disentangled ELBO + optional LPIPS / BiomedCLIP
+            # feature terms (loss.perceptual_weight / loss.biomedclip_weight)
+            if float(self.loss_cfg.get("perceptual_weight", 0.0) or 0.0):
+                from medvae_tpu.losses.perceptual import LPIPSLoss
+
+                frozen["lpips"] = LPIPSLoss(
+                    weights_path=self.loss_cfg.get("weights_path") or None
+                ).init(
+                    jax.random.fold_in(self.seed_key, 11), self.datamodule.size
+                )
+            if float(self.loss_cfg.get("biomedclip_weight", 0.0) or 0.0):
+                frozen["clip"] = BiomedCLIPLoss(
+                    encoder=self.loss_cfg.get("clip_encoder", "simple"),
+                    weights_path=self.loss_cfg.get("clip_weights_path")
+                    or None,
+                ).init(jax.random.fold_in(self.seed_key, 13))
 
         # batch size + optimizers (data.batch_size=auto probes the largest
         # batch that fits device memory with the production step) -------------

@@ -29,11 +29,11 @@ def _conv(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
-def export_lpips(out_path: str) -> None:
-    import lpips  # torch package
-
-    net = lpips.LPIPS(net="alex")
-    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+def lpips_arrays_from_state_dict(sd: dict) -> dict:
+    """Map an `lpips.LPIPS(net='alex')` state_dict (numpy values) to the flat
+    npz arrays LPIPSLoss.load_npz grafts. Split out from export_lpips so the
+    mapping is testable without the lpips package (tests/test_weight_graft.py
+    drives it with the torch-oracle trunk re-keyed to lpips's layout)."""
     arrays = {}
     # AlexNet trunk: lpips stores it as net.slice{1..5}.<idx>.weight/bias with
     # conv indices 0,3,6,8,10 in torchvision AlexNet.features
@@ -56,18 +56,24 @@ def export_lpips(out_path: str) -> None:
             # lins are 1×1 convs (1, C, 1, 1) → per-channel weight vector
             idx = parts[0][3:]
             arrays[f"params/lin{idx}"] = value.reshape(-1)
+    return arrays
+
+
+def export_lpips(out_path: str) -> None:
+    import lpips  # torch package
+
+    net = lpips.LPIPS(net="alex")
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    arrays = lpips_arrays_from_state_dict(sd)
     np.savez(out_path, **arrays)
     print(f"wrote {len(arrays)} arrays to {out_path}")
 
 
-def export_clip_vit(out_path: str) -> None:
-    import open_clip  # torch package
-
-    model, _, _ = open_clip.create_model_and_transforms(
-        model_name="ViT-B-32", pretrained="openai"
-    )
-    visual = model.visual
-    sd = {k: v.detach().numpy() for k, v in visual.state_dict().items()}
+def clip_vit_arrays_from_state_dict(sd: dict) -> dict:
+    """Map an open_clip ViT visual-tower state_dict (numpy values) to the
+    flat npz arrays clip_vit.load_npz grafts. Testable without open_clip
+    (tests/test_weight_graft.py re-keys the torch-oracle ViT to this layout).
+    """
     arrays = {
         "params/patch_embed/kernel": _conv(sd["conv1.weight"]),
         "params/class_embedding": sd["class_embedding"],
@@ -96,8 +102,20 @@ def export_clip_vit(out_path: str) -> None:
         arrays[f"{b}/mlp_proj/kernel"] = sd[f"{p}.mlp.c_proj.weight"].T
         arrays[f"{b}/mlp_proj/bias"] = sd[f"{p}.mlp.c_proj.bias"]
         i += 1
+    return arrays
+
+
+def export_clip_vit(out_path: str) -> None:
+    import open_clip  # torch package
+
+    model, _, _ = open_clip.create_model_and_transforms(
+        model_name="ViT-B-32", pretrained="openai"
+    )
+    visual = model.visual
+    sd = {k: v.detach().numpy() for k, v in visual.state_dict().items()}
+    arrays = clip_vit_arrays_from_state_dict(sd)
     np.savez(out_path, **arrays)
-    print(f"wrote {len(arrays)} arrays ({i} blocks) to {out_path}")
+    print(f"wrote {len(arrays)} arrays to {out_path}")
 
 
 def main() -> None:

@@ -78,10 +78,32 @@ def test_quick_experiments_compose(config_dir):
         "multi_modal_cvae",
         "multi_modal_cvae_quick",
         "disentangled_multi_modal_cvae_quick",
+        "disentangled_multi_modal_cvae_full",
     ]:
         cfg = compose(config_dir, overrides=[f"experiment={exp}"])
         assert "_target_" in cfg.model, exp
         assert "loss" in cfg.training, exp
+
+
+def test_full_flagship_experiment(config_dir):
+    """BASELINE configs item 4: 224² disentangled CVAE, attention at multiple
+    resolutions, LPIPS + BiomedCLIP feature terms, grad-accum."""
+    from medvae_tpu.config import instantiate
+
+    cfg = compose(
+        config_dir, overrides=["experiment=disentangled_multi_modal_cvae_full"]
+    )
+    model = instantiate(cfg.model)
+    assert type(model).__name__ == "DisentangledConditionalVAE"
+    assert model.resolution == 224
+    assert sorted(model.attn_resolutions) == [28, 56]
+    assert model.shared_latent_dim == 64
+    assert cfg.training.loss.type == "disentangled_vae"
+    assert cfg.training.loss.perceptual_weight == 0.1
+    assert cfg.training.loss.biomedclip_weight == 0.1
+    assert cfg.training.accumulate_grad_batches == 4
+    assert cfg.data.size == 224
+    assert cfg.data.stratify_batches is True
 
 
 def test_instantiate_compat_targets(config_dir):

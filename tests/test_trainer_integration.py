@@ -282,3 +282,48 @@ def test_trainer_rejects_unknown_monitor(tmp_path, config_dir):
     trainer = Trainer(cfg)
     with pytest.raises(ValueError, match="does_not_exist"):
         trainer.fit()
+
+
+def test_full_flagship_loss_terms(tmp_path, config_dir):
+    """The full-flagship criterion (disentangled ELBO + LPIPS + BiomedCLIP
+    feature terms, BASELINE configs item 4) trains finitely and logs both
+    feature losses; dropping the weights removes the terms and the frozen
+    nets. Tiny dims + 28² keep this fast (the 224² config shares the path)."""
+    import numpy as np
+
+    def make(extra):
+        cfg = compose(
+            config_dir,
+            overrides=[
+                "experiment=disentangled_multi_modal_cvae_quick",
+                f"work_dir={tmp_path}",
+                "device=cpu",
+                "training.max_epochs=1",
+                "+training.limit_train_batches=2",
+                "early_stopping.enabled=false",
+                "data.batch_size=8",
+                "model.hidden_channels=8",
+                "model.ch_mult=[1,2]",
+                "model.shared_latent_dim=4",
+                "model.modality_latent_dim=4",
+                "model.latent_dim=8",
+            ]
+            + extra,
+        )
+        return Trainer(cfg)
+
+    t = make(
+        [
+            "+training.loss.perceptual_weight=0.1",
+            "+training.loss.biomedclip_weight=0.1",
+            "+training.loss.clip_encoder=simple",
+        ]
+    )
+    assert set(t.state.frozen) >= {"lpips", "clip"}
+    val = t.fit()
+    for key in ("val/loss", "val/p_loss", "val/bc_loss"):
+        assert np.isfinite(val[key]), (key, val)
+
+    plain = make([])
+    assert "lpips" not in plain.state.frozen
+    assert "clip" not in plain.state.frozen
