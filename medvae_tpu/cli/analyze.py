@@ -53,16 +53,26 @@ def _collect_latents(model, variables, datamodule, mesh, per_modality, rng):
         if isinstance(model, DisentangledConditionalVAE):
             mu, _ = model.apply(variables, x, batch["modality_idx"],
                                 method=model.encode)
+            # z_modality: the designated modality subspace the separation /
+            # contrastive losses act on (models/disentangled_conditional_vae
+            # .py:partition_latent; ref :195-206)
+            _, zm = model.partition_latent(mu)
         elif isinstance(model, ConditionalVAE):
             mu, _ = model.apply(variables, x, batch["modality_onehot"],
                                 method=model.encode)
+            zm = None
         else:
             mu, _ = model.apply(variables, x, method=model.encode)
-        return mu.reshape(mu.shape[0], -1)
+            zm = None
+        flat = mu.reshape(mu.shape[0], -1)
+        return flat, (zm if zm is not None else flat[:, :0])
 
     buckets: dict[int, list[np.ndarray]] = {}
+    zm_buckets: dict[int, list[np.ndarray]] = {}
     for i, batch in enumerate(feeder.epoch(0)):
-        mu = np.asarray(jax.device_get(encode_batch(batch, jax.random.fold_in(rng, i))), np.float32)
+        mu, zm = encode_batch(batch, jax.random.fold_in(rng, i))
+        mu = np.asarray(jax.device_get(mu), np.float32)
+        zm = np.asarray(jax.device_get(zm), np.float32)
         midx = np.asarray(jax.device_get(batch["modality_idx"]))
         valid = np.asarray(jax.device_get(batch["valid"])) > 0
         for m in np.unique(midx[valid]):
@@ -70,6 +80,7 @@ def _collect_latents(model, variables, datamodule, mesh, per_modality, rng):
             if have < per_modality:
                 sel = (midx == m) & valid
                 buckets.setdefault(int(m), []).append(mu[sel][: per_modality - have])
+                zm_buckets.setdefault(int(m), []).append(zm[sel][: per_modality - have])
         if all(
             sum(len(a) for a in buckets.get(m, [])) >= per_modality
             for m in np.unique(datamodule.split("val").modality_idx)
@@ -79,7 +90,8 @@ def _collect_latents(model, variables, datamodule, mesh, per_modality, rng):
     labels = np.concatenate(
         [np.full(sum(len(a) for a in v), m) for m, v in buckets.items()]
     )
-    return latents, labels
+    zm_latents = np.concatenate([np.concatenate(v) for v in zm_buckets.values()])
+    return latents, labels, (zm_latents if zm_latents.shape[1] else None)
 
 
 def _generate_latents(model, variables, per_modality, rng):
@@ -119,10 +131,11 @@ def main(argv=None) -> int:
         latents, labels = _generate_latents(
             model, variables, args.samples_per_modality, rng
         )
+        zm_latents = None
     else:
         datamodule = instantiate(cfg["data"])
         datamodule.setup(None)
-        latents, labels = _collect_latents(
+        latents, labels, zm_latents = _collect_latents(
             model, variables, datamodule, mesh, args.samples_per_modality, rng
         )
 
@@ -140,6 +153,20 @@ def main(argv=None) -> int:
     present = np.asarray(jax.device_get(counts)) > 0
     pair_mask = np.triu(np.ones_like(dists, bool), 1) & present[:, None] & present[None, :]
     mean_centroid_dist = float(dists[pair_mask].mean()) if pair_mask.any() else 0.0
+
+    # z_modality subspace metrics (disentangled models): the separation and
+    # contrastive losses act only on these dims, so this is the subspace the
+    # memo's thresholds describe; full-latent numbers are reported alongside.
+    zm_dist = zm_sil = None
+    if zm_latents is not None:
+        zd, _ = centroid_distance_matrix(
+            jnp.asarray(zm_latents), jnp.asarray(labels), num_classes
+        )
+        zm_sil = float(
+            silhouette_score(jnp.asarray(zm_latents), jnp.asarray(labels), num_classes)
+        )
+        zd = np.asarray(jax.device_get(zd))
+        zm_dist = float(zd[pair_mask].mean()) if pair_mask.any() else 0.0
 
     # figure: PCA / t-SNE / raw-2D scatters, heatmap, variance bars
     import matplotlib
@@ -182,18 +209,26 @@ def main(argv=None) -> int:
     axes[1, 1].set_title("per-dimension latent variance")
 
     axes[1, 2].axis("off")
+    # verdict on the designated modality subspace when the model has one,
+    # else on the full latent
+    v_dist = zm_dist if zm_dist is not None else mean_centroid_dist
+    v_sil = zm_sil if zm_sil is not None else sil
     verdict = (
-        "EXCELLENT separation" if mean_centroid_dist > 10 and sil > 0.5
-        else "partial separation" if mean_centroid_dist > 3 or sil > 0.2
+        "EXCELLENT separation" if v_dist > 10 and v_sil > 0.5
+        else "partial separation" if v_dist > 3 or v_sil > 0.2
         else "POOR separation"
     )
-    axes[1, 2].text(
-        0.05, 0.5,
+    text = (
         f"mean centroid distance: {mean_centroid_dist:.3f}\n"
-        f"silhouette score: {sil:.3f}\n\nverdict: {verdict}\n"
-        "(targets: dist > 10, silhouette > 0.5)",
-        fontsize=12, va="center",
+        f"silhouette score: {sil:.3f}\n"
     )
+    if zm_dist is not None:
+        text += (
+            f"z_modality centroid distance: {zm_dist:.3f}\n"
+            f"z_modality silhouette: {zm_sil:.3f}\n"
+        )
+    text += f"\nverdict: {verdict}\n(targets: dist > 10, silhouette > 0.5)"
+    axes[1, 2].text(0.05, 0.5, text, fontsize=12, va="center")
     fig.tight_layout()
     fig.savefig(os.path.join(args.output_dir, "latent_analysis.png"), dpi=120)
     plt.close(fig)
@@ -211,6 +246,9 @@ def main(argv=None) -> int:
         "silhouette_score": sil,
         "verdict": verdict,
     }
+    if zm_dist is not None:
+        results["zmod_centroid_distance"] = zm_dist
+        results["zmod_silhouette_score"] = zm_sil
     with open(os.path.join(args.output_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))

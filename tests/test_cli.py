@@ -85,3 +85,22 @@ def test_analyze_cli_generated(tiny_run, tmp_path):
     assert np.isfinite(results["mean_centroid_distance"])
     assert (out / "latent_analysis.png").exists()
     assert (out / "latent_analysis.npz").exists()
+
+
+def test_analyze_cli_encoded_reports_zmod_subspace(tiny_run, tmp_path):
+    """Encode-path analyze on a disentangled model reports both full-latent
+    and z_modality-subspace separation (the subspace the separation /
+    contrastive losses act on)."""
+    from medvae_tpu.cli import analyze
+
+    out = tmp_path / "analysis_enc"
+    rc = analyze.main([
+        "--model_path", os.path.join(tiny_run, "last"),
+        "--output_dir", str(out), "--samples_per_modality", "20",
+    ])
+    assert rc == 0
+    with open(out / "results.json") as f:
+        results = json.load(f)
+    for k in ("mean_centroid_distance", "silhouette_score",
+              "zmod_centroid_distance", "zmod_silhouette_score"):
+        assert np.isfinite(results[k]), (k, results)
