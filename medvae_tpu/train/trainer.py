@@ -116,6 +116,7 @@ class Trainer:
         params = self.variables["params"]
         n_params = param_count(params)
         print(f"Model: {type(self.model).__name__}  ({n_params:,} parameters)")
+        self._validate_geometry()
 
         tcfg = cfg["training"]
         self.loss_cfg = dict(tcfg.get("loss", {"type": "vae"}))
@@ -397,6 +398,49 @@ class Trainer:
     # counters and EarlyStopping best/counter live on host; persisting them
     # beside the checkpoints keeps monitoring behavior identical across a
     # preemption+resume, completing the exact-resume story.
+
+    def _validate_geometry(self) -> None:
+        """Fail fast, with a clear message, when the encoder/decoder chain
+        cannot reproduce the input spatial size. The asymmetric-pad stride-2
+        downsampling floors odd sizes (28 -> 14 -> 7 -> 3) while upsampling
+        doubles (3 -> 24), so e.g. a resolution-224 model (3 downsamples, as
+        in the reference's multi_modal_cvae experiment: conditional_vae.yaml
+        resolution 224 over size-28 multi_modal data) silently emits 24x24
+        reconstructions against 28x28 targets and crashes mid-epoch deep in
+        the loss. Shape inference only — no FLOPs, no compile."""
+        size, c = self.datamodule.size, self.datamodule.max_channels
+        x = jax.ShapeDtypeStruct((2, size, size, c), self.model.dtype)
+
+        def fwd(v, x):
+            if isinstance(self.model, DisentangledConditionalVAE):
+                out = self.model.apply(
+                    v, x, jnp.zeros((2,), jnp.int32),
+                    rngs={"sample": jax.random.PRNGKey(0)},
+                )
+            elif isinstance(self.model, ConditionalVAE):
+                cond = jnp.zeros((2, self.model.cond_dim), self.model.dtype)
+                out = self.model.apply(
+                    v, x, cond, rngs={"sample": jax.random.PRNGKey(0)}
+                )
+            else:
+                out = self.model.apply(
+                    v, x, rngs={"sample": jax.random.PRNGKey(0)}
+                )
+            return out["reconstruction"]
+
+        rec = jax.eval_shape(fwd, self.variables, x).shape
+        if rec[1:3] != (size, size):
+            n_down = len(tuple(self.model.ch_mult)) - 1
+            raise ValueError(
+                f"model/data geometry mismatch: {size}x{size} inputs come out "
+                f"of the decoder as {rec[1]}x{rec[2]} reconstructions "
+                f"({n_down} stride-2 downsamples floor odd sizes; upsampling "
+                f"doubles). Use a ch_mult with fewer levels (e.g. [1,2,4] for "
+                f"28x28) or a data.size divisible by 2^{n_down} (e.g. 224). "
+                f"The reference's multi_modal_cvae experiment ships this "
+                f"mismatch (resolution-224 model over size-28 data) and "
+                f"crashes the same way."
+            )
 
     def _save_monitor_state(self) -> None:
         import json

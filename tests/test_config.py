@@ -77,6 +77,7 @@ def test_quick_experiments_compose(config_dir):
         "path_beta_vae",
         "multi_modal_cvae",
         "multi_modal_cvae_quick",
+        "multi_modal_cvae_gan_quick",
         "disentangled_multi_modal_cvae_quick",
         "disentangled_multi_modal_cvae_full",
     ]:

@@ -284,6 +284,30 @@ def test_trainer_rejects_unknown_monitor(tmp_path, config_dir):
         trainer.fit()
 
 
+def test_trainer_rejects_geometry_mismatch(tmp_path, config_dir):
+    """A model whose downsample chain cannot reproduce the input size must
+    fail at startup with a clear message, not crash mid-epoch deep in the
+    loss. The reference's multi_modal_cvae experiment ships exactly this
+    (resolution-224 model, 3 stride-2 downsamples, over size-28 data:
+    28 -> 14 -> 7 -> 3 -> upsampled 24 vs 28 targets) and crashes the same
+    way in torch. Shape-inference only (jax.eval_shape) — no compile."""
+    import pytest
+
+    cfg = compose(
+        config_dir,
+        overrides=[
+            "experiment=chest_base_vae_quick",
+            f"work_dir={tmp_path}",
+            "device=cpu",
+            "model.hidden_channels=8",
+            "model.ch_mult=[1,2,4,8]",  # 3 downsamples over 28x28: broken
+            "model.latent_dim=4",
+        ],
+    )
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        Trainer(cfg)
+
+
 def test_full_flagship_loss_terms(tmp_path, config_dir):
     """The full-flagship criterion (disentangled ELBO + LPIPS + BiomedCLIP
     feature terms, BASELINE configs item 4) trains finitely and logs both
