@@ -64,6 +64,16 @@ class LPIPSWithDiscriminator:
 
     discriminator_factor: float = 1.0
     perceptual_factor: float = 1.0
+    # Taming-style pixel L1 inside the reconstruction term. The reference's
+    # generator objective (vae_losses.py:320-325) is perceptual-only — with
+    # pretrained LPIPS that IS a strong image distance, but a random trunk
+    # (this environment has no egress for the weights) can be gamed: the
+    # generator minimizes random-feature distance while pixel error grows.
+    # pixel_factor adds pixel_factor·mean|x − x̂| to the generator loss and
+    # to the adaptive-weight numerator (taming-transformers'
+    # LPIPSWithDiscriminator rec_loss = |x−x̂| + w·LPIPS). 0 = exact
+    # reference parity.
+    pixel_factor: float = 0.0
     kl_factor: float = 1.0
     discriminator_iter_start: int = 50001
     use_biomedclip_loss: bool = False
@@ -109,6 +119,7 @@ class LPIPSWithDiscriminator:
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         bsz = inputs.shape[0]
         p_loss = self.perceptual_loss(frozen["lpips"], inputs, reconstructions)
+        pix_loss = self.pixel_l1(inputs, reconstructions)
 
         bc_loss = jnp.asarray(0.0, jnp.float32)
         if self.biomed_clip_loss is not None:
@@ -124,6 +135,7 @@ class LPIPSWithDiscriminator:
 
         loss = (
             self.perceptual_factor * p_loss
+            + self.pixel_factor * pix_loss
             + self.kl_factor * kl_loss
             + eff_weight * g_loss
         )
@@ -137,9 +149,31 @@ class LPIPSWithDiscriminator:
             f"{split}/d_weight": eff_weight,
             f"{split}/g_loss": jax.lax.stop_gradient(d_valid * g_loss),
         }
+        if self.pixel_factor:
+            log[f"{split}/pix_loss"] = jax.lax.stop_gradient(pix_loss)
         if self.biomed_clip_loss is not None:
             log[f"{split}/bc_loss"] = jax.lax.stop_gradient(bc_loss)
         return loss, log
+
+    @staticmethod
+    def pixel_l1(inputs: jax.Array, reconstructions: jax.Array) -> jax.Array:
+        return jnp.mean(
+            jnp.abs(
+                inputs.astype(jnp.float32)
+                - reconstructions.astype(jnp.float32)
+            )
+        )
+
+    def rec_for_adaptive(
+        self, frozen: Dict, inputs: jax.Array, reconstructions: jax.Array
+    ) -> jax.Array:
+        """Numerator objective for the adaptive weight: the reference uses the
+        raw perceptual loss (:370-373); with pixel_factor > 0 the pixel term
+        joins it, as in taming's nll-based adaptive weight."""
+        p = self.perceptual_loss(frozen["lpips"], inputs, reconstructions)
+        if self.pixel_factor:
+            p = p + self.pixel_factor * self.pixel_l1(inputs, reconstructions)
+        return p
 
     # -- discriminator ------------------------------------------------------
 

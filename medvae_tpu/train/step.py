@@ -237,6 +237,7 @@ def make_gan_loss(loss_cfg: Dict[str, Any]) -> LPIPSWithDiscriminator:
     return LPIPSWithDiscriminator(
         discriminator_factor=float(loss_cfg.get("discriminator_factor", 1.0)),
         perceptual_factor=float(loss_cfg.get("perceptual_factor", 1.0)),
+        pixel_factor=float(loss_cfg.get("pixel_factor", 0.0)),
         kl_factor=float(loss_cfg.get("kl_factor", 1.0)),
         discriminator_iter_start=int(loss_cfg.get("discriminator_iter_start", 50001)),
         use_biomedclip_loss=bool(loss_cfg.get("use_biomedclip_loss", False)),
@@ -318,7 +319,7 @@ def make_gan_grads_fn(model, disc, gan_loss, kernel_grad_sync=None):
 
         def p_of_kernel(kernel):
             recon = decode_fn(_with_last(params, kernel), z0, batch_mb)
-            return gan_loss.perceptual_loss(frozen["lpips"], x, recon)
+            return gan_loss.rec_for_adaptive(frozen, x, recon)
 
         def g_of_kernel(kernel):
             recon = decode_fn(_with_last(params, kernel), z0, batch_mb)

@@ -190,6 +190,38 @@ def test_gan_train_step_runs_and_gates():
     assert int(state.step) == 3
 
 
+def test_gan_pixel_factor_adds_l1_term():
+    """pixel_factor (Taming-style rec_loss = |x−x̂| + w·LPIPS; opt-in, 0 =
+    exact reference parity with vae_losses.py:320-325's perceptual-only
+    objective) must shift the generator loss by exactly pixel_factor·L1 and
+    join the adaptive-weight numerator."""
+    from medvae_tpu.losses.gan import LPIPSWithDiscriminator
+
+    base = LPIPSWithDiscriminator(discriminator_iter_start=0)
+    pix = LPIPSWithDiscriminator(discriminator_iter_start=0, pixel_factor=0.7)
+    frozen = base.init_frozen(jax.random.PRNGKey(0), 16)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.uniform(k1, (4, 16, 16, 3))
+    rec = jax.random.uniform(k2, (4, 16, 16, 3))
+    kl = jnp.ones((4,))
+    logits = jnp.zeros((4, 1, 1, 1))
+    w = jnp.asarray(0.0)
+    step = jnp.asarray(5)
+
+    l0, log0 = base.generator_loss(frozen, x, rec, kl, logits, w, step)
+    l1, log1 = pix.generator_loss(frozen, x, rec, kl, logits, w, step)
+    expect = 0.7 * float(jnp.mean(jnp.abs(x - rec)))
+    np.testing.assert_allclose(float(l1 - l0), expect, rtol=1e-5)
+    assert "train/pix_loss" not in log0
+    np.testing.assert_allclose(
+        float(log1["train/pix_loss"]), expect / 0.7, rtol=1e-5
+    )
+    # adaptive numerator gains the same term
+    ra = float(pix.rec_for_adaptive(frozen, x, rec))
+    rb = float(base.rec_for_adaptive(frozen, x, rec))
+    np.testing.assert_allclose(ra - rb, expect, rtol=1e-5)
+
+
 def test_gan_step_updates_ema_and_honors_lr_scale():
     """Regression: the GAN step must maintain ema_params (else --use_ema
     serves init-era weights for GAN runs) and apply state.lr_scale to BOTH
