@@ -36,6 +36,10 @@ def main(argv=None) -> int:
                         "training.ema_decay > 0)")
     p.add_argument("--per_modality", action="store_true",
                    help="one grid per modality (disentangled/conditional models)")
+    p.add_argument("--interpolate", type=int, default=0, metavar="STEPS",
+                   help="also decode STEPS-point linear interpolation paths "
+                        "between prior latent pairs (BASELINE configs item 5; "
+                        "analysis.latent_interpolation on device)")
     args = p.parse_args(argv)
 
     model, params, _ = load_model_and_params(
@@ -102,6 +106,43 @@ def main(argv=None) -> int:
                     save_image(
                         imgs[i], os.path.join(args.output_dir, f"sample_{i:03d}.png")
                     )
+
+    if args.interpolate > 1:
+        from medvae_tpu.analysis import latent_interpolation
+
+        r = model.encoder_out_res
+        ld = (
+            model.total_latent_dim
+            if isinstance(model, DisentangledConditionalVAE)
+            else model.latent_dim
+        )
+        k_a, k_b = jax.random.split(jax.random.fold_in(rng, 7919))
+        rows = []
+        n_rows = (
+            model.num_modalities
+            if isinstance(model, DisentangledConditionalVAE)
+            else min(4, n)
+        )
+        for i in range(n_rows):
+            z_a = jax.random.normal(
+                jax.random.fold_in(k_a, i), (r, r, ld), model.dtype
+            )
+            z_b = jax.random.normal(
+                jax.random.fold_in(k_b, i), (r, r, ld), model.dtype
+            )
+            path = latent_interpolation(z_a, z_b, steps=args.interpolate)
+            if isinstance(model, DisentangledConditionalVAE):
+                midx = jnp.full((args.interpolate,), i, jnp.int32)
+                imgs = model.apply(variables, path, midx, method=model.decode)
+            else:
+                imgs = model.apply(variables, path, method=model.decode)
+            rows.append(decode_batchless(imgs))
+        grid = np.concatenate(rows, axis=0)
+        save_image_grid(
+            grid,
+            os.path.join(args.output_dir, "interpolation_grid.png"),
+            cols=args.interpolate,
+        )
 
     print(f"Saved samples to {args.output_dir}")
     return 0

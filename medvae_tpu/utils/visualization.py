@@ -149,14 +149,17 @@ def plot_loss_curves(
 
 
 def save_image_grid(
-    images: np.ndarray, path: str, pad: int = 2
+    images: np.ndarray, path: str, pad: int = 2, cols: "int | None" = None
 ) -> None:
-    """Tile images into one PNG (torchvision.make_grid equivalent) via PIL."""
+    """Tile images into one PNG (torchvision.make_grid equivalent) via PIL.
+
+    `cols` fixes the number of columns (e.g. one interpolation path per row);
+    default is a near-square layout."""
     from PIL import Image
 
     imgs = to_unit(images)
     n, h, w, c = imgs.shape
-    cols = int(np.ceil(np.sqrt(n)))
+    cols = cols or int(np.ceil(np.sqrt(n)))
     rows = int(np.ceil(n / cols))
     canvas = np.ones((rows * (h + pad) + pad, cols * (w + pad) + pad, 3), np.float32)
     for i in range(n):

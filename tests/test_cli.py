@@ -51,6 +51,25 @@ def test_generate_cli(tiny_run, tmp_path):
     assert (out / "samples_pathmnist.png").exists()
 
 
+def test_generate_cli_interpolation(tiny_run, tmp_path):
+    """--interpolate decodes prior-latent interpolation paths on device, one
+    row per modality for the disentangled model (BASELINE configs item 5)."""
+    from PIL import Image
+
+    from medvae_tpu.cli import generate
+
+    out = tmp_path / "interp"
+    rc = generate.main([
+        "--model_path", os.path.join(tiny_run, "last"),
+        "--num_samples", "2", "--output_dir", str(out),
+        "--modality", "pathmnist", "--interpolate", "6",
+    ])
+    assert rc == 0
+    grid = np.asarray(Image.open(out / "interpolation_grid.png"))
+    # 5 modality rows x 6 steps of 28x28 tiles (+2px padding)
+    assert grid.shape[0] == 5 * 30 + 2 and grid.shape[1] == 6 * 30 + 2
+
+
 def test_evaluate_cli(tiny_run, tmp_path):
     from medvae_tpu.cli import evaluate
 
