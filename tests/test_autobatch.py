@@ -15,10 +15,15 @@ import numpy as np
 import pytest
 
 from medvae_tpu.train.autobatch import (
+
     is_oom_error,
     probe_max_batch_size,
     resolve_auto_batch_size,
 )
+
+# end-to-end / compile-heavy: nightly tier (`pytest -m slow`); the fast
+# tier is `pytest -m "not slow"` (README: Tests).
+pytestmark = pytest.mark.slow
 
 
 class FakeOOM(Exception):

@@ -19,6 +19,10 @@ available, landing on the same graph tested here.
 import numpy as np
 import pytest
 
+# end-to-end / compile-heavy: nightly tier (`pytest -m slow`); the fast
+# tier is `pytest -m "not slow"` (README: Tests).
+pytestmark = pytest.mark.slow
+
 jnp = pytest.importorskip("jax.numpy")
 torch = pytest.importorskip("torch")
 
@@ -27,6 +31,7 @@ import flax  # noqa: E402
 from torch import nn as tnn  # noqa: E402
 
 from medvae_tpu.losses.perceptual import (  # noqa: E402
+
     BiomedCLIPLoss,
     LPIPSLoss,
     SimpleCLIPEncoder,

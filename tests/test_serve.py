@@ -18,12 +18,17 @@ import pytest
 
 from medvae_tpu.models import BaseVAE, ConditionalVAE, DisentangledConditionalVAE
 from medvae_tpu.serve import (
+
     InferenceEngine,
     MicroBatcher,
     export_model,
     load_exported,
     to_uint8,
 )
+
+# end-to-end / compile-heavy: nightly tier (`pytest -m slow`); the fast
+# tier is `pytest -m "not slow"` (README: Tests).
+pytestmark = pytest.mark.slow
 
 TINY = dict(
     latent_dim=4,

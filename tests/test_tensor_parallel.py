@@ -14,6 +14,11 @@ from medvae_tpu.train.optim import build_optimizer
 from medvae_tpu.train.state import create_train_state
 from medvae_tpu.train.step import build_train_step
 
+# end-to-end / compile-heavy: nightly tier (`pytest -m slow`); the fast
+# tier is `pytest -m "not slow"` (README: Tests).
+pytestmark = pytest.mark.slow
+
+
 TINY = dict(latent_dim=8, hidden_channels=8, ch_mult=(1, 2), num_res_blocks=1,
             attn_resolutions=(), dropout=0.0, resolution=8)
 

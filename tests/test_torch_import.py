@@ -12,6 +12,10 @@ import sys
 import numpy as np
 import pytest
 
+# end-to-end / compile-heavy: nightly tier (`pytest -m slow`); the fast
+# tier is `pytest -m "not slow"` (README: Tests).
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
@@ -25,6 +29,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from medvae_tpu.cli import import_ckpt  # noqa: E402
 from medvae_tpu.cli.common import load_model_and_params  # noqa: E402
+
 
 TINY = dict(
     hidden_channels=16,

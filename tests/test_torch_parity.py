@@ -16,6 +16,10 @@ import sys
 import numpy as np
 import pytest
 
+# end-to-end / compile-heavy: nightly tier (`pytest -m slow`); the fast
+# tier is `pytest -m "not slow"` (README: Tests).
+pytestmark = pytest.mark.slow
+
 jnp = pytest.importorskip("jax.numpy")
 torch = pytest.importorskip("torch")
 
@@ -30,6 +34,7 @@ import jax  # noqa: E402
 from medvae_tpu.nn.encoder_decoder import Decoder as JDecoder, Encoder as JEncoder  # noqa: E402
 
 from src.models.encoder_decoder import (  # noqa: E402  (oracle import)
+
     Decoder as TDecoder,
     Encoder as TEncoder,
 )

@@ -72,6 +72,7 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 30
 
 
+@pytest.mark.slow
 def test_jit_and_shard_map_steps_agree():
     """The XLA-auto-collective step and the explicit shard_map step must
     produce the same params after one update (8-device mesh, global-batch
@@ -143,6 +144,7 @@ def test_jit_and_shard_map_steps_agree():
     assert moved > 1e-5
 
 
+@pytest.mark.slow
 def test_gan_train_step_runs_and_gates():
     # NB: the PatchGAN's stride chain needs ≥16 px inputs to emit a non-empty
     # logit map (4×4 s2 ×2 then two 4×4 s1 VALID-ish convs).
@@ -222,6 +224,7 @@ def test_gan_pixel_factor_adds_l1_term():
     np.testing.assert_allclose(ra - rb, expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_step_updates_ema_and_honors_lr_scale():
     """Regression: the GAN step must maintain ema_params (else --use_ema
     serves init-era weights for GAN runs) and apply state.lr_scale to BOTH
@@ -376,6 +379,7 @@ def test_ema_tracking():
     assert d_ema < d_param  # EMA lags the raw params
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_full_batch():
     """k microbatches with grad averaging must produce the SAME updated params
     as the full-batch step when the per-sample noise is pinned in-batch (the
@@ -425,6 +429,7 @@ def test_gradient_accumulation_matches_full_batch():
     assert int(s_acc.step) == 1  # one optimizer update despite 4 microbatches
 
 
+@pytest.mark.slow
 def test_gan_jit_and_shard_map_steps_agree():
     """Dual-optimizer GAN step: jit/NamedSharding vs explicit shard_map with
     sync-BN + global adaptive weight must produce elementwise-equal generator
@@ -507,6 +512,7 @@ def test_gan_jit_and_shard_map_steps_agree():
     assert moved > 1e-6
 
 
+@pytest.mark.slow
 def test_gan_grad_accumulation_runs():
     """GAN + accumulate_grad_batches: k microbatches scanned, ONE update per
     optimizer, BatchNorm stats threaded sequentially. (Unlike the plain path
@@ -566,6 +572,7 @@ def test_gan_grad_accumulation_runs():
     assert stats_moved > 0  # BN running stats updated through the scan
 
 
+@pytest.mark.slow
 def test_gan_eval_step_logs_gan_terms():
     """Validation under the GAN loss logs the generator objective (reference
     val semantics: d_weight=0) plus g/d losses, so monitors track a metric the

@@ -8,6 +8,11 @@ import numpy as np
 
 from medvae_tpu.config import compose
 from medvae_tpu.train.trainer import Trainer
+import pytest
+
+# end-to-end / compile-heavy: nightly tier (`pytest -m slow`); the fast
+# tier is `pytest -m "not slow"` (README: Tests).
+pytestmark = pytest.mark.slow
 
 
 def test_trainer_end_to_end(tmp_path, config_dir):
