@@ -186,7 +186,18 @@ class LPIPSWithDiscriminator:
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         d_valid = (global_step >= self.discriminator_iter_start).astype(jnp.float32)
         d_loss = d_valid * hinge_d_loss(logits_real, logits_fake)
-        return d_loss, {f"{split}/d_loss": jax.lax.stop_gradient(d_loss)}
+        # logit means make the competitive state legible: real≫0 and fake≪0
+        # (hinge margins met, d_loss→0) means D is winning; both near 0 with
+        # d_loss ≈ 1 means balance; fake > 0 means G is fooling D.
+        return d_loss, {
+            f"{split}/d_loss": jax.lax.stop_gradient(d_loss),
+            f"{split}/logits_real": jax.lax.stop_gradient(
+                d_valid * jnp.mean(logits_real.astype(jnp.float32))
+            ),
+            f"{split}/logits_fake": jax.lax.stop_gradient(
+                d_valid * jnp.mean(logits_fake.astype(jnp.float32))
+            ),
+        }
 
 
 def discriminator_input(x: jax.Array) -> jax.Array:
