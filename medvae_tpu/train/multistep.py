@@ -84,23 +84,28 @@ def build_eval_chunk_runner(raw_eval: Callable, feeder) -> Callable:
     """
     assemble = feeder.assemble_traced
 
-    def chunk(state, images, labels, midx, perm, rng, n_steps: int):
+    def chunk(state, images, labels, midx, perm, rng, start, n_steps: int):
         def body(carry, i):
             batch = assemble(images, labels, midx, perm, i)
             return carry, raw_eval(state, batch, rng)
 
         _, stacked = jax.lax.scan(
-            body, None, jnp.arange(n_steps, dtype=jnp.int32)
+            body, None, start + jnp.arange(n_steps, dtype=jnp.int32)
         )
         return stacked
 
-    jitted = jax.jit(chunk, static_argnums=(6,))
+    jitted = jax.jit(chunk, static_argnums=(7,))
 
-    def run(state, epoch: int, n_steps: int, rng) -> Dict[str, Any]:
+    def run(state, epoch: int, n_steps: int, rng, start: int = 0) -> Dict[str, Any]:
+        """Evaluate split batches [start, start+n_steps). `start` is traced
+        (a capped whole-split eval reuses one executable per chunk size)."""
         images, labels, midx = feeder.device_arrays
         perm = feeder.epoch_perm(epoch)
         return jax.device_get(
-            jitted(state, images, labels, midx, perm, rng, int(n_steps))
+            jitted(
+                state, images, labels, midx, perm, rng,
+                jnp.asarray(start, jnp.int32), int(n_steps),
+            )
         )
 
     return run

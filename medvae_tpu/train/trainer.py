@@ -590,9 +590,31 @@ class Trainer:
         runner = self._eval_runner(split, feeder)
         zmod_sum = None
         if runner is not None:
-            stacked = runner(
-                self.state, 0, feeder.steps_per_epoch, self.rng
+            # same worker-crash guard as training: at high resolution a
+            # whole-split scan (e.g. 160 eval steps of the 224² forward) is
+            # one enormous dispatch; cut it into <=cap-step sub-dispatches
+            # and fetch each before issuing the next. Identical math — the
+            # per-step stacked metrics are concatenated across sub-scans.
+            cap = int(
+                (self.cfg.get("training") or {}).get(
+                    "fused_chunk_max",
+                    16 if self.datamodule.size >= 112 else 0,
+                )
+                or 0
             )
+            total = feeder.steps_per_epoch
+            step_sz = cap if 0 < cap < total else total
+            parts = []
+            for s0 in range(0, total, step_sz):
+                part = runner(
+                    self.state, 0, min(step_sz, total - s0), self.rng,
+                    start=s0,
+                )
+                parts.append(part)
+            stacked = {
+                k: np.concatenate([np.asarray(p[k]) for p in parts])
+                for k in parts[0]
+            }
             w = np.asarray(stacked.pop("val/_weight"), np.float64)
             psnr_by_mod = np.asarray(
                 stacked.pop("val/_psnr_by_mod")
@@ -660,6 +682,35 @@ class Trainer:
         tcfg = self.cfg["training"]
         max_epochs = int(tcfg.get("max_epochs", 10))
         log_every = int(tcfg.get("log_every_n_steps", 50))
+        # Dispatch-depth bound for the per-step loop (0 disables). Large
+        # resolutions default to a tight bound: queueing ~log_every 224²
+        # remat programs on the tunneled backend reproducibly crashed the
+        # TPU worker process; syncing one scalar every K steps bounds the
+        # queue at negligible cost relative to a >100 ms step. Small/fast
+        # configs take the fused multi-step path and never hit this loop
+        # at depth.
+        throttle_every = int(
+            tcfg.get(
+                "max_inflight_steps",
+                8 if self.datamodule.size >= 112 else 0,
+            )
+            or 0
+        )
+        # Cap on steps per fused dispatch (0 = cut only at log/ckpt
+        # cadences). At high resolution a 100-step fused lax.scan is one
+        # enormous device program; through the tunneled backend such
+        # dispatches reproducibly crashed the TPU worker mid-stream
+        # (224² full-flagship runs died inside the first log interval,
+        # while the same graph ran fine 4 steps at a time). A multiple-of-K
+        # cut bounds every chunk at ≤K steps for one extra chunk-size
+        # compile.
+        fused_chunk_max = int(
+            tcfg.get(
+                "fused_chunk_max",
+                16 if self.datamodule.size >= 112 else 0,
+            )
+            or 0
+        )
         val_interval = float(tcfg.get("val_check_interval", 1.0))
         check_every = int(tcfg.get("check_val_every_n_epoch", 1))
         profile = bool(self.cfg.get("debug", {}).get("profile", False))
@@ -783,13 +834,18 @@ class Trainer:
                     extra = (g_base + mid_val_at,) if mid_val_at else ()
                     for g0, nst in fused_plan(
                         g_base + eff, g_base + s0, log_every, ckpt_every,
-                        extra=extra,
+                        fused_chunk_max, extra=extra,
                     ):
                         self.state, metrics = fused_runner(
                             self.state, epoch, g0 - g_base, nst, self.rng
                         )
                         images_seen += nst * self.datamodule.batch_size
                         step = g0 + nst
+                        if throttle_every:
+                            # same worker-crash guard as the per-step loop:
+                            # one scalar fence per dispatch keeps at most one
+                            # large fused program in flight
+                            jax.device_get(next(iter(metrics.values())))
                         log_train(step, metrics)
                         if ckpt_every and step % ckpt_every == 0:
                             self.ckpt.save_step(self.state)
@@ -807,6 +863,15 @@ class Trainer:
                         )
                         images_seen += self.datamodule.batch_size
                         step = epoch * self.steps_per_epoch + i + 1
+                        if throttle_every and step % throttle_every == 0:
+                            # Bound in-flight dispatches: between log syncs up
+                            # to log_every async steps queue on the device;
+                            # for large programs (224² remat graphs through
+                            # the tunneled backend) a deep queue crashes the
+                            # TPU worker process. Fetching one scalar VALUE is
+                            # the reliable fence here (block_until_ready can
+                            # acknowledge early through tunnels).
+                            jax.device_get(next(iter(metrics.values())))
                         log_train(step, metrics)
                         if profile and step >= min(20, self.steps_per_epoch):
                             jax.profiler.stop_trace()

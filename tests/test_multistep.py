@@ -41,6 +41,13 @@ def test_chunk_plan_cuts_at_every_cadence():
     assert chunk_plan(26, 16, 10) == ((16, 4), (20, 6))
     # absolute extra cuts (mid-epoch validation points)
     assert chunk_plan(26, 16, 10, extra=(23,)) == ((16, 4), (20, 3), (23, 3))
+    # a chunk cap is just another cadence: multiple-of-K cuts bound every
+    # chunk at <= K steps (training.fused_chunk_max — worker-crash guard for
+    # very large per-dispatch programs at high resolution)
+    plan = chunk_plan(100, 0, 100, 0, 16)
+    assert plan == ((0, 16), (16, 16), (32, 16), (48, 16), (64, 16),
+                    (80, 16), (96, 4))
+    assert max(n for _, n in plan) <= 16
 
 
 def _setup(bs=32, optimizer=None):
@@ -190,10 +197,18 @@ def test_fused_validate_matches_per_batch(tmp_path, config_dir):
     t = Trainer(cfg)
     fused = t.validate()
     assert t._eval_runners.get("val") is not None  # fused path engaged
+    # capped sub-scans (the high-resolution worker-crash guard) must
+    # reproduce the single whole-split scan exactly: start-offset chunks
+    # concatenate to the identical per-batch metric stream
+    t.cfg["training"]["fused_chunk_max"] = 3
+    capped = t.validate()
+    t.cfg["training"].pop("fused_chunk_max")
     t._eval_runners["val"] = None  # force the per-batch loop
     loop = t.validate()
-    assert set(fused) == set(loop)
+    assert set(fused) == set(loop) == set(capped)
     for k in fused:
+        np.testing.assert_allclose(fused[k], capped[k], rtol=1e-6,
+                                   err_msg=f"capped {k}")
         np.testing.assert_allclose(fused[k], loop[k], rtol=1e-4, atol=1e-5,
                                    err_msg=k)
 
@@ -236,8 +251,12 @@ def test_trainer_fused_matches_unfused(tmp_path, config_dir):
         return jax.device_get(t.state.params), int(jax.device_get(t.state.step))
 
     # the quick training config sets val_check_interval=0.5, so this also
-    # covers mid-epoch validation inside the fused loop (an extra chunk cut)
-    p_fused, n_fused = run("fused", ["+training.fused_steps=on"])
+    # covers mid-epoch validation inside the fused loop (an extra chunk cut);
+    # fused_chunk_max=2 exercises the capped-chunk plan (the high-resolution
+    # worker-crash guard) on the exactness contract
+    p_fused, n_fused = run(
+        "fused", ["+training.fused_steps=on", "+training.fused_chunk_max=2"]
+    )
     p_plain, n_plain = run("plain", ["+training.fused_steps=off"])
     assert trainers["fused"]._fused_active and not trainers["plain"]._fused_active
     assert n_fused == n_plain
