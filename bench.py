@@ -326,5 +326,28 @@ def main() -> None:
         step_bench()
 
 
+def _main_with_retry() -> None:
+    """Retry transient backend failures (tunneled TPU worker restarts /
+    transport resets surface as UNAVAILABLE JaxRuntimeErrors). A bench run
+    is stateless, so a clean re-run after a pause is always valid; bounded
+    so a genuinely dead backend still fails loudly. BENCH_RETRIES=0 disables."""
+    tries = int(os.environ.get("BENCH_RETRIES", 2))
+    for attempt in range(tries + 1):
+        try:
+            main()
+            return
+        except jax.errors.JaxRuntimeError as e:
+            transient = "UNAVAILABLE" in str(e) or "Connection" in str(e)
+            if not transient or attempt == tries:
+                raise
+            wait = 60.0 * (attempt + 1)
+            print(
+                f"bench: transient backend error ({str(e).splitlines()[0][:120]}); "
+                f"retry {attempt + 1}/{tries} in {wait:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(wait)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
