@@ -31,10 +31,54 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _wait_for_backend() -> None:
+    """Block (bounded) until the remote device service accepts connections.
+
+    Under a tunneled backend (JAX_PLATFORMS=axon) jax device initialization
+    HANGS rather than erroring when the tunnel is down, so the retry loop in
+    _main_with_retry never gets a chance. Polling the service port first turns
+    an indefinite hang into either a clean start or a loud bounded failure.
+    BENCH_WAIT_BACKEND=0 disables; BENCH_BACKEND_PORT overrides the port.
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    port = int(os.environ.get("BENCH_BACKEND_PORT", 8113))
+    budget = float(os.environ.get("BENCH_WAIT_BACKEND", 1800.0))
+    if budget <= 0:
+        return
+    deadline = time.monotonic() + budget
+    notified = False
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=5):
+                return
+        except OSError:
+            pass
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: device service 127.0.0.1:{port} unreachable for "
+                f"{budget:.0f}s; giving up",
+                file=sys.stderr,
+            )
+            raise SystemExit(3)
+        if not notified:
+            print(
+                f"bench: device service 127.0.0.1:{port} down; waiting "
+                f"(up to {budget:.0f}s)",
+                file=sys.stderr,
+            )
+            notified = True
+        time.sleep(15)
+
+
+_wait_for_backend()
 
 import jax
 import jax.numpy as jnp
