@@ -66,6 +66,15 @@ def _wrap(obj: Any) -> Any:
         return ConfigDict({k: _wrap(v) for k, v in obj.items()})
     if isinstance(obj, list):
         return [_wrap(v) for v in obj]
+    # pyyaml (YAML 1.1) reads exponent notation without a decimal point
+    # (`1e-4`) as a string; OmegaConf — the reference's loader — reads a
+    # float. Normalize so YAML files mean the same thing in both frameworks.
+    if (
+        isinstance(obj, str)
+        and "${" not in obj
+        and _SCI_FLOAT_RE.fullmatch(obj.strip())
+    ):
+        return float(obj)
     return obj
 
 
@@ -100,12 +109,23 @@ def _is_global_package(path: Path) -> bool:
     return False
 
 
+_SCI_FLOAT_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
+
+
 def _parse_value(raw: str) -> Any:
-    """Parse a CLI override value using YAML scalar rules."""
+    """Parse a CLI override value using YAML scalar rules.
+
+    YAML 1.1 requires a decimal point in exponent notation, so pyyaml reads
+    ``1e-3`` as a *string*; OmegaConf (the reference's parser) reads it as a
+    float. Match OmegaConf so ``training.lr=1e-3`` means what it says.
+    """
     try:
-        return yaml.safe_load(raw)
+        value = yaml.safe_load(raw)
     except yaml.YAMLError:
         return raw
+    if isinstance(value, str) and _SCI_FLOAT_RE.fullmatch(value.strip()):
+        return float(value)
+    return value
 
 
 _GROUP_RE = re.compile(r"^[A-Za-z_][\w/]*$")

@@ -113,3 +113,83 @@ def test_instantiate_compat_targets(config_dir):
     cfg.model._target_ = "src.models.BaseVAE"
     model = instantiate(cfg.model)
     assert type(model).__name__ == "BaseVAE"
+
+
+# ---------------------------------------------------------------------------
+# Multirun sweep expansion (hydra `-m` grammar; config/sweep.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sweep_comma_choice():
+    from medvae_tpu.config.sweep import expand_multirun
+
+    jobs, swept = expand_multirun(["training.lr=1e-3,1e-4", "seed=7"])
+    assert swept == ["training.lr"]
+    assert jobs == [
+        ["training.lr=1e-3", "seed=7"],
+        ["training.lr=1e-4", "seed=7"],
+    ]
+
+
+def test_sweep_brackets_and_escapes_are_not_choices():
+    from medvae_tpu.config.sweep import expand_multirun, sweep_values
+
+    # list values keep their commas; \, escapes a literal comma
+    jobs, swept = expand_multirun(["model.ch_mult=[1,2,4]"])
+    assert swept == [] and jobs == [["model.ch_mult=[1,2,4]"]]
+    assert sweep_values(r"a\,b") == ["a,b"]
+    assert sweep_values("'a,b'") == ["'a,b'"]
+
+
+def test_sweep_choice_and_range():
+    from medvae_tpu.config.sweep import sweep_values
+
+    assert sweep_values("choice(adam, adamw)") == ["adam", "adamw"]
+    assert sweep_values("range(1,4)") == ["1", "2", "3"]
+    assert sweep_values("range(4)") == ["0", "1", "2", "3"]
+    assert sweep_values("range(0,0.3,0.1)") == ["0.0", "0.1", "0.2"]
+    assert sweep_values("range(3,0,-1)") == ["3", "2", "1"]
+
+
+def test_sweep_cartesian_product_order():
+    from medvae_tpu.config.sweep import expand_multirun, job_label
+
+    jobs, swept = expand_multirun(["a=1,2", "+b=x,y"])
+    assert swept == ["a", "b"]
+    # last key iterates fastest (hydra/basic-sweeper order)
+    assert [job_label(j, swept) for j in jobs] == [
+        "a=1,b=x", "a=1,b=y", "a=2,b=x", "a=2,b=y",
+    ]
+    assert jobs[1] == ["a=1", "+b=y"]
+
+
+def test_sweep_group_select_sweeps_and_composes(config_dir):
+    from medvae_tpu.config.sweep import expand_multirun
+
+    jobs, swept = expand_multirun(["model=base_vae_quick,beta_vae_quick"])
+    assert swept == ["model"]
+    names = [
+        compose(config_dir, overrides=j).model._target_.rsplit(".", 1)[-1]
+        for j in jobs
+    ]
+    assert names == ["BaseVAE", "BetaVAE"]
+
+
+def test_sweep_no_sweeps_single_job():
+    from medvae_tpu.config.sweep import expand_multirun
+
+    jobs, swept = expand_multirun(["experiment=chest_base_vae_quick"])
+    assert len(jobs) == 1 and swept == []
+
+
+def test_exponent_notation_parses_as_float(config_dir):
+    """pyyaml reads `1e-3` as a string (YAML 1.1); OmegaConf — the reference's
+    loader — reads a float. Both CLI overrides and YAML file values must mean
+    the float (configs/training/default.yaml ships `lr: 1e-4`)."""
+    cfg = compose(config_dir, overrides=["training.optimizer.lr=1e-3"])
+    assert cfg.training.optimizer.lr == 0.001
+    # file values too (training/default.yaml: weight_decay: 1e-4)
+    assert cfg.training.optimizer.weight_decay == 1e-4
+    # quoted/lettered strings stay strings; plain floats unaffected
+    cfg2 = compose(config_dir, overrides=["+a.s=e1", "+a.f=2.5", "+a.n=1E+2"])
+    assert cfg2.a.s == "e1" and cfg2.a.f == 2.5 and cfg2.a.n == 100.0
