@@ -10,3 +10,11 @@ the hot fused ops, and a host pipeline that ships uint8 and normalizes on device
 __version__ = "0.1.0"
 
 from medvae_tpu import config  # noqa: F401
+
+# Persistent XLA compilation cache: relaunches (supervisor restarts, repeated
+# CLI runs on one checkpoint, test reruns) skip their compile costs entirely.
+# MEDVAE_COMPILE_CACHE=0 disables; see core/compile_cache.py.
+from medvae_tpu.core.compile_cache import enable_compile_cache as _ecc
+
+_ecc()
+del _ecc

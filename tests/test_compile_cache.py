@@ -1,0 +1,46 @@
+"""Persistent compilation cache wiring (core/compile_cache.py): enabled at
+package import, idempotent, env-disable honored, and actually populated by a
+jitted computation (so supervisor relaunches / CLI reruns skip compiles)."""
+
+import os
+
+import jax
+
+
+def test_cache_enabled_at_import():
+    # conftest imports medvae_tpu before jax init; the package enables the
+    # cache unless MEDVAE_COMPILE_CACHE=0
+    import medvae_tpu  # noqa: F401
+
+    assert jax.config.jax_compilation_cache_dir, "cache dir not configured"
+
+
+def test_enable_is_idempotent_and_env_disable(tmp_path, monkeypatch):
+    from medvae_tpu.core import compile_cache
+
+    d = str(tmp_path / "xla")
+    assert compile_cache.enable_compile_cache(d) == d
+    assert compile_cache.enable_compile_cache(d) == d  # no-op second time
+    assert jax.config.jax_compilation_cache_dir == d
+
+    monkeypatch.setenv("MEDVAE_COMPILE_CACHE", "0")
+    assert compile_cache.enable_compile_cache(str(tmp_path / "other")) is None
+    assert jax.config.jax_compilation_cache_dir == d  # unchanged
+
+
+def test_cache_populated_by_jit(tmp_path):
+    from medvae_tpu.core import compile_cache
+
+    d = str(tmp_path / "xla2")
+    compile_cache.enable_compile_cache(d)
+    try:
+        # force-persist even sub-second compiles so the test is fast
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: jnp.sin(x) * 3 + 1)(jnp.arange(7.0)).block_until_ready()
+        entries = [f for f in os.listdir(d) if not f.endswith("-atime")]
+        assert entries, "no cache entries written"
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        compile_cache.enable_compile_cache()  # restore the default dir
