@@ -406,10 +406,15 @@ def build_train_step(
 
     `state_sharding`: optional sharding pytree for the train state (tensor
     parallelism over the `model` axis) — defaults to fully replicated.
-    `accumulate_grad_batches` k > 1 (the Lightning knob, reference main.py:92)
-    splits the batch into k microbatches scanned sequentially with gradient
-    averaging — one optimizer update, 1/k peak activation memory (how the 224²
-    configs reach large effective batches on one chip)."""
+    `accumulate_grad_batches` k > 1 (named for the Lightning knob, reference
+    main.py:92) SPLITS the batch into k microbatches scanned sequentially
+    with gradient averaging — one optimizer update per batch, 1/k peak
+    activation memory. NB this differs from Lightning, which accumulates k
+    whole loader batches (effective batch k·b); here the effective batch
+    stays b. Consequence: losses with batch-global terms (the disentangled
+    separation/contrastive losses) see only b/k samples per forward — the
+    Trainer fails fast on that combination (trainer.py guard) unless
+    explicitly allowed."""
     forward = make_forward_fn(model)
     loss_type = str(loss_cfg.get("type", "vae"))
     use_gan = loss_type == "lpips_discriminator"

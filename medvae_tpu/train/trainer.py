@@ -270,6 +270,28 @@ class Trainer:
                 "(the jit step emits the same collectives) or set "
                 "accumulate_grad_batches=1"
             )
+        # Gradient accumulation SPLITS each batch into k microbatches
+        # (train/step.py: same effective batch, 1/k activation memory). The
+        # disentangled model's separation/contrastive losses are batch-global
+        # — computed inside each forward — so a k-way split silently
+        # degenerates them (tiny microbatches lose same-modality positives
+        # and centroid statistics). Fail fast instead of training a flagship
+        # run whose headline losses are no-ops.
+        if (
+            str(self.loss_cfg.get("type")) == "disentangled_vae"
+            and int(tcfg.get("accumulate_grad_batches", 1) or 1) > 1
+            and not bool(tcfg.get("allow_microbatched_disentangled", False))
+        ):
+            k = int(tcfg.get("accumulate_grad_batches"))
+            mb = int(self.datamodule.batch_size) // max(k, 1)
+            raise ValueError(
+                f"accumulate_grad_batches={k} would compute the batch-global "
+                f"separation/contrastive losses on {mb}-sample microbatches "
+                f"(batch {self.datamodule.batch_size} is split, not "
+                f"multiplied). Use a full batch with remat instead, or set "
+                f"+training.allow_microbatched_disentangled=true if the "
+                f"microbatch size still covers every modality."
+            )
         if explicit_sm and use_gan:
             from medvae_tpu.parallel import build_shard_map_gan_step
 
@@ -583,6 +605,22 @@ class Trainer:
         self._eval_runners[split] = runner
         return runner
 
+    def _dispatch_caps(self) -> tuple:
+        """(max_inflight_steps, fused_chunk_max) — the tunneled-worker crash
+        guards, defaulting on at high resolution. One definition so the
+        train loop (fit) and the whole-split eval scan (validate) can never
+        drift apart: queueing ~100 224² dispatches, or scanning ~100 steps
+        in one dispatch, reproducibly crashed the tunneled TPU worker; both
+        paths must stay bounded by the same knobs (training.max_inflight_steps
+        throttles the per-step loop with a one-scalar fence,
+        training.fused_chunk_max cuts fused scans into ≤K-step dispatches;
+        0 disables either)."""
+        tcfg = self.cfg.get("training") or {}
+        hi = self.datamodule.size >= 112
+        throttle = int(tcfg.get("max_inflight_steps", 8 if hi else 0) or 0)
+        chunk = int(tcfg.get("fused_chunk_max", 16 if hi else 0) or 0)
+        return throttle, chunk
+
     def validate(self, split: str = "val") -> Dict[str, float]:
         from medvae_tpu.data.medmnist import MODALITY_NAMES
 
@@ -590,18 +628,12 @@ class Trainer:
         runner = self._eval_runner(split, feeder)
         zmod_sum = None
         if runner is not None:
-            # same worker-crash guard as training: at high resolution a
-            # whole-split scan (e.g. 160 eval steps of the 224² forward) is
-            # one enormous dispatch; cut it into <=cap-step sub-dispatches
-            # and fetch each before issuing the next. Identical math — the
-            # per-step stacked metrics are concatenated across sub-scans.
-            cap = int(
-                (self.cfg.get("training") or {}).get(
-                    "fused_chunk_max",
-                    16 if self.datamodule.size >= 112 else 0,
-                )
-                or 0
-            )
+            # same worker-crash guard as training (_dispatch_caps): cut the
+            # whole-split scan (e.g. 160 eval steps of the 224² forward) into
+            # <=cap-step sub-dispatches and fetch each before issuing the
+            # next. Identical math — the per-step stacked metrics are
+            # concatenated across sub-scans.
+            _, cap = self._dispatch_caps()
             total = feeder.steps_per_epoch
             step_sz = cap if 0 < cap < total else total
             parts = []
@@ -682,35 +714,13 @@ class Trainer:
         tcfg = self.cfg["training"]
         max_epochs = int(tcfg.get("max_epochs", 10))
         log_every = int(tcfg.get("log_every_n_steps", 50))
-        # Dispatch-depth bound for the per-step loop (0 disables). Large
-        # resolutions default to a tight bound: queueing ~log_every 224²
-        # remat programs on the tunneled backend reproducibly crashed the
-        # TPU worker process; syncing one scalar every K steps bounds the
-        # queue at negligible cost relative to a >100 ms step. Small/fast
-        # configs take the fused multi-step path and never hit this loop
-        # at depth.
-        throttle_every = int(
-            tcfg.get(
-                "max_inflight_steps",
-                8 if self.datamodule.size >= 112 else 0,
-            )
-            or 0
-        )
-        # Cap on steps per fused dispatch (0 = cut only at log/ckpt
-        # cadences). At high resolution a 100-step fused lax.scan is one
-        # enormous device program; through the tunneled backend such
-        # dispatches reproducibly crashed the TPU worker mid-stream
-        # (224² full-flagship runs died inside the first log interval,
-        # while the same graph ran fine 4 steps at a time). A multiple-of-K
-        # cut bounds every chunk at ≤K steps for one extra chunk-size
-        # compile.
-        fused_chunk_max = int(
-            tcfg.get(
-                "fused_chunk_max",
-                16 if self.datamodule.size >= 112 else 0,
-            )
-            or 0
-        )
+        # Worker-crash guards (see _dispatch_caps): throttle_every bounds the
+        # per-step loop's dispatch queue with a one-scalar fence every K
+        # steps (negligible next to a >100 ms step); fused_chunk_max cuts
+        # fused lax.scan chunks to ≤K steps per dispatch for one extra
+        # chunk-size compile. 224² full-flagship runs died inside the first
+        # log interval without these; small/fast configs default both off.
+        throttle_every, fused_chunk_max = self._dispatch_caps()
         val_interval = float(tcfg.get("val_check_interval", 1.0))
         check_every = int(tcfg.get("check_val_every_n_epoch", 1))
         profile = bool(self.cfg.get("debug", {}).get("profile", False))

@@ -102,7 +102,10 @@ def test_full_flagship_experiment(config_dir):
     assert cfg.training.loss.type == "disentangled_vae"
     assert cfg.training.loss.perceptual_weight == 0.1
     assert cfg.training.loss.biomedclip_weight == 0.1
-    assert cfg.training.accumulate_grad_batches == 4
+    # full 32-sample forwards (no microbatching): the batch-global
+    # separation/contrastive losses need the whole batch in one forward
+    assert cfg.training.accumulate_grad_batches == 1
+    assert cfg.data.batch_size == 32
     assert cfg.data.size == 224
     assert cfg.data.stratify_batches is True
 
@@ -193,3 +196,15 @@ def test_exponent_notation_parses_as_float(config_dir):
     # quoted/lettered strings stay strings; plain floats unaffected
     cfg2 = compose(config_dir, overrides=["+a.s=e1", "+a.f=2.5", "+a.n=1E+2"])
     assert cfg2.a.s == "e1" and cfg2.a.f == 2.5 and cfg2.a.n == 100.0
+    # explicitly quoted exponent-shaped values stay strings (OmegaConf rule:
+    # only plain scalars are auto-typed) — both on the CLI and in files
+    cfg3 = compose(config_dir, overrides=['+a.tag="1e5"'])
+    assert cfg3.a.tag == "1e5"
+    import tempfile, os as _os
+    from medvae_tpu.config.compose import load_yaml
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "x.yaml")
+        with open(p, "w") as f:
+            f.write('plain: 1e-4\nquoted: "1e5"\n')
+        loaded = load_yaml(p)
+        assert loaded.plain == 1e-4 and loaded.quoted == "1e5"

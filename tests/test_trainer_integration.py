@@ -313,6 +313,30 @@ def test_trainer_rejects_geometry_mismatch(tmp_path, config_dir):
         Trainer(cfg)
 
 
+def test_trainer_rejects_microbatched_disentangled(tmp_path, config_dir):
+    """accumulate_grad_batches splits the batch (train/step.py), so the
+    batch-global separation/contrastive losses would be computed on tiny
+    microbatches — silently degenerate (no same-modality positives). The
+    trainer must fail fast, and the explicit opt-in must lift the guard."""
+    base = [
+        "experiment=disentangled_multi_modal_cvae_quick",
+        f"work_dir={tmp_path}",
+        "device=cpu",
+        "data.batch_size=32",
+        "model.hidden_channels=8",
+        "model.ch_mult=[1,2]",
+        "training.accumulate_grad_batches=4",
+    ]
+    cfg = compose(config_dir, overrides=base)
+    with pytest.raises(ValueError, match="microbatch"):
+        Trainer(cfg)
+    cfg_ok = compose(
+        config_dir,
+        overrides=base + ["+training.allow_microbatched_disentangled=true"],
+    )
+    Trainer(cfg_ok)  # opt-in constructs fine
+
+
 def test_full_flagship_loss_terms(tmp_path, config_dir):
     """The full-flagship criterion (disentangled ELBO + LPIPS + BiomedCLIP
     feature terms, BASELINE configs item 4) trains finitely and logs both
