@@ -91,11 +91,22 @@ def probe_max_batch_size(
             if b >= max_batch:
                 log(f"autobatch: selected {good} (cap)")
                 return _round(b)
+            if bad is not None:
+                break  # downward search succeeded: bracket (good, bad) known
+            if probes >= max_probes:
+                log(
+                    f"autobatch: probe budget ({max_probes}) reached while "
+                    f"doubling; keeping {good}"
+                )
+                return good
             b = min(b * 2, max_batch)
         else:
             bad = b
             if good is not None:
                 break
+            # good is still unknown: keep halving past the budget — returning
+            # nothing is not an option, and each halving is the cheapest
+            # candidate that can possibly fit
             if b <= multiple:
                 raise MemoryError(
                     f"even batch {b} does not fit device memory"
@@ -208,7 +219,9 @@ def resolve_auto_batch_size(
             ),
         )
         new_state, metrics = step(state, shard_batch(mesh, batch), rng)
-        float(jax.device_get(metrics["train/loss"]))  # force execution
+        # force execution; the GAN step logs train/total_loss, not train/loss
+        key = "train/loss" if "train/loss" in metrics else "train/total_loss"
+        float(jax.device_get(metrics[key]))
         del new_state
 
     try:

@@ -83,13 +83,14 @@ def test_probe_budget_bounds_compiles_and_degrades_gracefully():
     assert len(calls) == 7
     assert 512 <= got <= 700  # verified, and at least the doubling-phase best
     assert got in calls  # never returns an unprobed size
-    # budget below the doubling phase still finishes the bracket it can
+    # the budget is a hard compile cap — it bounds the doubling phase too,
+    # returning the largest size verified within budget
     calls2 = []
     got2 = probe_max_batch_size(
         _try_fn_with_limit(700, calls2), start=64, max_batch=4096,
         max_probes=1, log=lambda *_: None,
     )
-    assert got2 == 512  # doubling runs to the first failure regardless
+    assert got2 == 64 and calls2 == [64]
 
 
 def test_probe_backs_off_when_start_ooms():
@@ -171,3 +172,52 @@ def test_trainer_resolves_auto_batch_size(tmp_path, config_dir):
     assert trainer.steps_per_epoch == max(1, n // bs)
     val = trainer.fit()
     assert np.isfinite(val["val/loss"])
+
+
+def test_trainer_resolves_auto_batch_size_gan(tmp_path, config_dir):
+    """Regression: the probe must force execution via the GAN step's metric
+    key (train/total_loss — gan_train_step logs no train/loss), so
+    data.batch_size=auto works for lpips_discriminator configs too."""
+    from medvae_tpu.config import compose
+    from medvae_tpu.train.trainer import Trainer
+
+    cfg = compose(
+        config_dir,
+        overrides=[
+            "experiment=multi_modal_cvae_gan_quick",
+            "device=cpu",
+            f"work_dir={tmp_path}",
+            "data.batch_size=auto",
+            "+training.autobatch_start=8",
+            "+training.autobatch_max=16",   # CPU-safe cap
+            "model.hidden_channels=8",
+            "model.ch_mult=[1,2]",
+            "model.latent_dim=4",
+        ],
+    )
+    trainer = Trainer(cfg)  # probe runs here; KeyError would abort it
+    assert 8 <= int(trainer.datamodule.batch_size) <= 16
+
+
+def test_probe_no_reprobe_after_downward_bracket():
+    """Regression: start OOMs, halving finds a fit — the search must go
+    straight to bisection, not re-probe the size that just failed (each
+    probe is a full XLA compile)."""
+    calls = []
+    got = probe_max_batch_size(
+        _try_fn_with_limit(40, calls), start=64, max_batch=4096, multiple=8,
+        log=lambda *_: None,
+    )
+    assert got == 40
+    assert len(calls) == len(set(calls)), f"re-probed a candidate: {calls}"
+
+
+def test_probe_budget_bounds_doubling_phase():
+    """max_probes caps the doubling phase too, not just bisection."""
+    calls = []
+    got = probe_max_batch_size(
+        _try_fn_with_limit(10**9, calls), start=8, max_batch=2**20,
+        multiple=8, max_probes=3, log=lambda *_: None,
+    )
+    assert got == 32  # 8, 16, 32 — then budget reached
+    assert len(calls) == 3
