@@ -19,6 +19,11 @@ Enabled once at package import (medvae_tpu/__init__.py). Controls:
 
 Backends that cannot serialize executables are skipped gracefully (JAX warns
 and compiles as usual — jax_raise_persistent_cache_errors stays False).
+
+Known cosmetic noise: on CPU cache *hits*, XLA's AOT loader logs a machine-
+feature mismatch error (it compares its own `prefer-no-scatter/gather`
+tuning pseudo-features against cpuid). Same-host loads proceed correctly;
+the message is spurious.
 """
 
 from __future__ import annotations
@@ -47,15 +52,36 @@ def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
 
     import jax
 
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    # default only persists compiles >1s wall — exactly the ones worth keeping
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # Optional LRU size bound. Off by default: the LRU bookkeeping writes
-    # per-entry atime files, which race (noisy warnings) when several
-    # processes share the cache — our normal mode (supervisor + tests).
-    max_bytes = int(os.environ.get("MEDVAE_COMPILE_CACHE_MAX_BYTES", 0))
-    if max_bytes > 0:
-        jax.config.update("jax_compilation_cache_max_size", max_bytes)
+    # The cache is a pure optimization: a host-side setup failure (read-only
+    # $HOME in a container, malformed env var) must never break package
+    # import — warn and run uncached instead.
+    try:
+        # parse/validate before mutating any jax config
+        # Optional LRU size bound. Off by default: the LRU bookkeeping writes
+        # per-entry atime files, which race (noisy warnings) when several
+        # processes share the cache — our normal mode (supervisor + tests).
+        max_bytes = int(os.environ.get("MEDVAE_COMPILE_CACHE_MAX_BYTES", "0"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default only persists compiles >1s wall — the ones worth keeping
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if max_bytes > 0:
+            jax.config.update("jax_compilation_cache_max_size", max_bytes)
+        if _enabled_dir is not None and _enabled_dir != path:
+            # the cache object latches its directory on first use; re-point
+            # an already-initialized cache (tests, notebooks) explicitly
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc,
+            )
+
+            _cc.reset_cache()
+    except Exception as e:  # noqa: BLE001 — degrade to uncached compiles
+        import warnings
+
+        warnings.warn(
+            f"persistent compilation cache disabled ({type(e).__name__}: {e})"
+        )
+        _enabled_dir = None
+        return None
     _enabled_dir = path
     return path

@@ -44,3 +44,19 @@ def test_cache_populated_by_jit(tmp_path):
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         compile_cache.enable_compile_cache()  # restore the default dir
+
+
+def test_setup_failure_degrades_gracefully(tmp_path, monkeypatch):
+    """A host-side cache failure (unwritable dir, malformed env) must warn
+    and return None — never break `import medvae_tpu`."""
+    import warnings
+
+    from medvae_tpu.core import compile_cache
+
+    monkeypatch.setenv("MEDVAE_COMPILE_CACHE_MAX_BYTES", "2GB")  # malformed
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = compile_cache.enable_compile_cache(str(tmp_path / "x"))
+    assert got is None
+    assert any("compilation cache disabled" in str(x.message) for x in w)
+    compile_cache.enable_compile_cache()  # restore the default dir
