@@ -375,7 +375,7 @@ def _main_with_retry() -> None:
     transport resets surface as UNAVAILABLE JaxRuntimeErrors). A bench run
     is stateless, so a clean re-run after a pause is always valid; bounded
     so a genuinely dead backend still fails loudly. BENCH_RETRIES=0 disables."""
-    tries = int(os.environ.get("BENCH_RETRIES", 2))
+    tries = max(0, int(os.environ.get("BENCH_RETRIES", 2)))
     for attempt in range(tries + 1):
         try:
             main()

@@ -86,17 +86,18 @@ def run_multirun(overrides) -> int:
     stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
     print(f"Multirun: {len(jobs)} job(s), sweeping {swept_keys or '(nothing)'}")
 
+    # two-pass compose: discover the base log_dir ONCE (from job 0, so a
+    # swept work_dir/log_dir still yields a single sweep directory holding
+    # every job + the summary), then redirect each job's log_dir — and
+    # everything interpolated from it, e.g. checkpoint_dir — into its own
+    # subdirectory: hydra's multirun/<stamp>/<jobnum> layout.
+    base_log = compose(default_config_dir(), "config", jobs[0]).get(
+        "log_dir", "logs"
+    )
+    sweep_dir = os.path.join(str(base_log), "multirun", stamp)
     results = []
-    sweep_dir = None
     try:
         for num, job in enumerate(jobs):
-            # two-pass compose: discover the job's log_dir, then redirect it
-            # (and everything interpolated from it, e.g. checkpoint_dir) into
-            # the per-job sweep subdirectory — hydra's multirun/<stamp>/<jobnum>
-            base_log = compose(default_config_dir(), "config", job).get(
-                "log_dir", "logs"
-            )
-            sweep_dir = os.path.join(str(base_log), "multirun", stamp)
             job_overrides = job + [
                 f"log_dir={os.path.join(sweep_dir, str(num))}"
             ]

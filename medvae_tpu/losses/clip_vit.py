@@ -110,29 +110,7 @@ class CLIPViT(nn.Module):
 
 
 def load_npz(params: Dict, path: str) -> Dict:
-    """Graft exported weights (flat 'a/b/c' keys) into a params pytree.
+    """Graft exported weights (shared semantics: losses/graft.py)."""
+    from medvae_tpu.losses.graft import graft_npz
 
-    Raises when nothing matches (silent no-op grafts would train against the
-    random tower while claiming pretrained weights); reports unmatched keys.
-    """
-    import flax
-
-    flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
-    matched, unmatched = 0, []
-    with np.load(path) as z:
-        for k in z.files:
-            if k in flat:
-                flat[k] = jnp.asarray(z[k]).reshape(flat[k].shape)
-                matched += 1
-            else:
-                unmatched.append(k)
-    if matched == 0:
-        raise ValueError(
-            f"weight graft from {path} matched 0 of {len(unmatched)} arrays "
-            f"— wrong file or stale export format (expected flat 'params/...' "
-            f"keys like {sorted(flat)[:3]})"
-        )
-    print(f"CLIP graft: {matched} arrays loaded from {path}")
-    if unmatched:
-        print(f"CLIP graft: ignored unmatched keys: {unmatched}")
-    return flax.traverse_util.unflatten_dict(flat, sep="/")
+    return graft_npz(params, path, "CLIP")

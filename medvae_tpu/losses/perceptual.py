@@ -139,33 +139,10 @@ class LPIPSLoss:
 
     @staticmethod
     def load_npz(params: Dict, path: str) -> Dict:
-        """Graft exported pretrained weights (flat `a/b/c` → array npz).
+        """Graft exported pretrained weights (shared semantics: losses/graft.py)."""
+        from medvae_tpu.losses.graft import graft_npz
 
-        Raises if nothing in the file matches the parameter tree — a silent
-        no-op graft would train against the random trunk while claiming
-        pretrained weights. Unmatched npz keys are reported (stale exports).
-        """
-        import flax
-
-        flat = dict(flax.traverse_util.flatten_dict(params, sep="/"))
-        matched, unmatched = 0, []
-        with np.load(path) as z:
-            for k in z.files:
-                if k in flat:
-                    flat[k] = jnp.asarray(z[k]).reshape(flat[k].shape)
-                    matched += 1
-                else:
-                    unmatched.append(k)
-        if matched == 0:
-            raise ValueError(
-                f"weight graft from {path} matched 0 of {len(unmatched)} "
-                f"arrays — wrong file or stale export format (expected flat "
-                f"'params/...' keys like {sorted(flat)[:3]})"
-            )
-        print(f"LPIPS graft: {matched} arrays loaded from {path}")
-        if unmatched:
-            print(f"LPIPS graft: ignored unmatched keys: {unmatched}")
-        return flax.traverse_util.unflatten_dict(flat, sep="/")
+        return graft_npz(params, path, "LPIPS")
 
     # AlexNet's stride/pool chain produces empty tensors below ~64 px (the
     # torch original has the same constraint — the reference's 28×28 quick
