@@ -66,21 +66,30 @@ def _wrap(obj: Any) -> Any:
         return ConfigDict({k: _wrap(v) for k, v in obj.items()})
     if isinstance(obj, list):
         return [_wrap(v) for v in obj]
-    # pyyaml (YAML 1.1) reads exponent notation without a decimal point
-    # (`1e-4`) as a string; OmegaConf — the reference's loader — reads a
-    # float. Normalize so YAML files mean the same thing in both frameworks.
-    if (
-        isinstance(obj, str)
-        and "${" not in obj
-        and _SCI_FLOAT_RE.fullmatch(obj.strip())
-    ):
-        return float(obj)
     return obj
+
+
+class _ConfigLoader(yaml.SafeLoader):
+    """SafeLoader + YAML 1.2 float forms.
+
+    pyyaml implements YAML 1.1, whose float grammar requires a decimal point
+    in exponent notation — so `lr: 1e-4` loads as the *string* "1e-4".
+    OmegaConf (the reference's loader) reads a float. An implicit resolver
+    fixes exactly the unquoted-plain-scalar case: quoted values ("1e5" as an
+    experiment tag) still load as strings, matching OmegaConf's rules.
+    """
+
+
+_ConfigLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$"),
+    list("-+0123456789."),
+)
 
 
 def load_yaml(path: str | Path) -> ConfigDict:
     with open(path) as f:
-        data = yaml.safe_load(f) or {}
+        data = yaml.load(f, Loader=_ConfigLoader) or {}
     return _wrap(data)
 
 
@@ -109,23 +118,14 @@ def _is_global_package(path: Path) -> bool:
     return False
 
 
-_SCI_FLOAT_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
-
-
 def _parse_value(raw: str) -> Any:
-    """Parse a CLI override value using YAML scalar rules.
-
-    YAML 1.1 requires a decimal point in exponent notation, so pyyaml reads
-    ``1e-3`` as a *string*; OmegaConf (the reference's parser) reads it as a
-    float. Match OmegaConf so ``training.lr=1e-3`` means what it says.
-    """
+    """Parse a CLI override value using YAML scalar rules (via _ConfigLoader,
+    so ``training.lr=1e-3`` is the float OmegaConf would produce while an
+    explicitly quoted ``tag='"1e5"'`` stays a string)."""
     try:
-        value = yaml.safe_load(raw)
+        return yaml.load(raw, Loader=_ConfigLoader)
     except yaml.YAMLError:
         return raw
-    if isinstance(value, str) and _SCI_FLOAT_RE.fullmatch(value.strip()):
-        return float(value)
-    return value
 
 
 _GROUP_RE = re.compile(r"^[A-Za-z_][\w/]*$")
