@@ -20,6 +20,8 @@ Modes (BENCH_MODE):
 Configs (BENCH_CONFIG): quick (default; 28x28, the north-star config) or
 full224 (224x224 CVAE, ch_mult 1-2-4-8 + attention @16 — the config that
 actually stresses the MXU/HBM; reference configs/model/base_vae.yaml).
+BENCH_MODEL=flagship swaps the ConditionalVAE for the flagship
+DisentangledConditionalVAE step (routing + separation/contrastive losses).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -137,32 +139,58 @@ def _synthetic_batch(batch_size: int, size: int) -> dict:
 
 
 def _build(mesh):
-    """Model + jitted train step + initial state (the production CVAE path)."""
+    """Model + jitted train step + initial state.
+
+    BENCH_MODEL=cvae (default) is the production ConditionalVAE path — the
+    north-star metric. BENCH_MODEL=flagship benches the
+    DisentangledConditionalVAE training step instead (one-hot-routed
+    projectors/heads + batch-global separation and InfoNCE losses), the
+    heaviest per-step graph of the model zoo.
+    """
     from medvae_tpu.core.mesh import replicate
-    from medvae_tpu.models import ConditionalVAE
+    from medvae_tpu.models import ConditionalVAE, DisentangledConditionalVAE
     from medvae_tpu.train.optim import build_optimizer
     from medvae_tpu.train.state import create_train_state
     from medvae_tpu.train.step import build_train_step
 
     model_kwargs, size, _ = _config()
-    model = ConditionalVAE(
-        input_channels=3,
-        condition_method="concat",
-        dropout=0.0,
-        dtype=jnp.bfloat16,
-        use_pallas=True,
-        **model_kwargs,
-    )
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, size, size, 3), jnp.bfloat16)
-    cond0 = jnp.zeros((2, 12), jnp.bfloat16)
+    flagship = os.environ.get("BENCH_MODEL", "cvae") == "flagship"
+    if flagship:
+        latent = model_kwargs.pop("latent_dim")
+        model = DisentangledConditionalVAE(
+            num_modalities=5,
+            shared_latent_dim=latent // 2,
+            modality_latent_dim=latent // 2,
+            dropout=0.0,
+            dtype=jnp.bfloat16,
+            use_pallas=True,
+            **model_kwargs,
+        )
+        cond0 = jnp.zeros((2,), jnp.int32)
+        loss_cfg = {
+            "type": "disentangled_vae", "recon_loss_type": "mse",
+            "kl_weight": 1.0, "recon_weight": 1.0,
+            "separation_weight": 0.1, "contrastive_weight": 0.2,
+        }
+    else:
+        model = ConditionalVAE(
+            input_channels=3,
+            condition_method="concat",
+            dropout=0.0,
+            dtype=jnp.bfloat16,
+            use_pallas=True,
+            **model_kwargs,
+        )
+        cond0 = jnp.zeros((2, 12), jnp.bfloat16)
+        loss_cfg = {"type": "vae", "recon_loss_type": "mse",
+                    "kl_weight": 1.0, "recon_weight": 1.0}
     variables = jax.jit(model.init)({"params": rng, "sample": rng}, x0, cond0)
     tx = build_optimizer(
         {"type": "adam", "lr": 1e-3}, {"type": "constant"}, gradient_clip_val=1.0
     )
     state = replicate(mesh, create_train_state(variables["params"], tx))
-    loss_cfg = {"type": "vae", "recon_loss_type": "mse",
-                "kl_weight": 1.0, "recon_weight": 1.0}
     step = build_train_step(
         model, loss_cfg, tx, mesh, augment=False, normalize=True, max_channels=3
     )
@@ -307,8 +335,12 @@ def pipeline_bench() -> None:
     assert last_loss == last_loss, "NaN loss in benchmark"
 
     per_chip = steps * batch_size / elapsed / n_chips
+    prefix = (
+        "flagship" if os.environ.get("BENCH_MODEL", "cvae") == "flagship"
+        else "cvae"
+    )
     out = {
-        "metric": "cvae_train_pipeline_images_per_sec_per_chip",
+        "metric": f"{prefix}_train_pipeline_images_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 4),
@@ -350,8 +382,12 @@ def step_bench() -> None:
     assert last_loss == last_loss, "NaN loss in benchmark"
 
     per_chip = steps * batch_size / elapsed / n_chips
+    prefix = (
+        "flagship" if os.environ.get("BENCH_MODEL", "cvae") == "flagship"
+        else "cvae"
+    )
     out = {
-        "metric": "cvae_train_images_per_sec_per_chip",
+        "metric": f"{prefix}_train_images_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 4),
