@@ -46,10 +46,22 @@ def main(argv=None) -> int:
                         "training.ema_decay > 0)")
     p.add_argument("--mig", action="store_true",
                    help="MIG / beta-VAE probe of latents vs modality factor")
+    # reference-CLI compatibility (evaluate.py:180-198): --config_path is the
+    # reference's name for --config; --num_samples caps evaluated samples
+    # (converted to whole batches); --device cpu forces the host backend
+    p.add_argument("--config_path", default=None,
+                   help="alias of --config (reference evaluate.py)")
+    p.add_argument("--num_samples", type=int, default=0,
+                   help="cap evaluated samples (reference evaluate.py); "
+                        "0 = full split")
+    p.add_argument("--device", default=None,
+                   help="cpu forces the host backend; cuda/tpu keep default")
     args = p.parse_args(argv)
 
+    if args.device and args.device.lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     model, params, cfg = load_model_and_params(
-        args.model_path, args.config, use_ema=args.use_ema
+        args.model_path, args.config or args.config_path, use_ema=args.use_ema
     )
     variables = {"params": params}
     datamodule = instantiate(cfg["data"])
@@ -122,6 +134,8 @@ def main(argv=None) -> int:
                 np.asarray(jax.device_get(feat_fn(feat_params, rec)))[valid]
             )
         if args.max_batches and i + 1 >= args.max_batches:
+            break
+        if args.num_samples and (i + 1) * datamodule.batch_size >= args.num_samples:
             break
 
     # aggregate mean/std/min/max per metric (reference evaluate.py:109-135)

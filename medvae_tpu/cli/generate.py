@@ -40,8 +40,17 @@ def main(argv=None) -> int:
                    help="also decode STEPS-point linear interpolation paths "
                         "between prior latent pairs (BASELINE configs item 5; "
                         "analysis.latent_interpolation on device)")
+    # reference-CLI compatibility (generate.py:109-126): --device maps cpu to
+    # the host backend, anything else keeps the environment's accelerator;
+    # --grid_size sets grid columns (reference default 8)
+    p.add_argument("--device", default=None,
+                   help="cpu forces the host backend; cuda/tpu keep default")
+    p.add_argument("--grid_size", type=int, default=None,
+                   help="columns in saved grids (reference generate.py)")
     args = p.parse_args(argv)
 
+    if args.device and args.device.lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     model, params, _ = load_model_and_params(
         args.model_path, args.config, use_ema=args.use_ema
     )
@@ -61,7 +70,7 @@ def main(argv=None) -> int:
         if not args.per_modality and args.modality is None:
             midx = jnp.asarray(np.arange(n) % model.num_modalities, jnp.int32)
             imgs = model.apply(variables, n, midx, rng, method=model.sample_conditional)
-            save_image_grid(decode_batchless(imgs), os.path.join(args.output_dir, "samples_grid.png"))
+            save_image_grid(decode_batchless(imgs), os.path.join(args.output_dir, "samples_grid.png"), cols=args.grid_size)
         for m in modalities:
             midx = jnp.full((n,), m, jnp.int32)
             imgs = decode_batchless(
@@ -69,7 +78,7 @@ def main(argv=None) -> int:
                             method=model.sample_conditional)
             )
             name = MODALITY_NAMES[m]
-            save_image_grid(imgs, os.path.join(args.output_dir, f"samples_{name}.png"))
+            save_image_grid(imgs, os.path.join(args.output_dir, f"samples_{name}.png"), cols=args.grid_size)
             for i in range(min(n, 8)):
                 save_image(imgs[i], os.path.join(args.output_dir, f"{name}_{i:03d}.png"))
     elif isinstance(model, ConditionalVAE):
@@ -85,7 +94,8 @@ def main(argv=None) -> int:
                 model.apply(variables, n, cond, key, method=model.conditional_sample)
             )
             save_image_grid(
-                imgs, os.path.join(args.output_dir, f"samples_grid{suffix}.png")
+                imgs, os.path.join(args.output_dir, f"samples_grid{suffix}.png"),
+                cols=args.grid_size,
             )
             if s == 0:
                 for i in range(min(n, 16)):
@@ -99,7 +109,8 @@ def main(argv=None) -> int:
             suffix = f"_seed{args.seed + s}" if args.num_seeds > 1 else ""
             imgs = decode_batchless(model.apply(variables, n, key, method=model.sample))
             save_image_grid(
-                imgs, os.path.join(args.output_dir, f"samples_grid{suffix}.png")
+                imgs, os.path.join(args.output_dir, f"samples_grid{suffix}.png"),
+                cols=args.grid_size,
             )
             if s == 0:
                 for i in range(min(n, 16)):

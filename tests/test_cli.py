@@ -123,3 +123,27 @@ def test_analyze_cli_encoded_reports_zmod_subspace(tiny_run, tmp_path):
     for k in ("mean_centroid_distance", "silhouette_score",
               "zmod_centroid_distance", "zmod_silhouette_score"):
         assert np.isfinite(results[k]), (k, results)
+
+
+def test_reference_flag_compat(tiny_run, tmp_path):
+    """The reference's exact argparse flags keep working: generate's
+    --device/--grid_size (reference generate.py:109-126) and evaluate's
+    --config_path/--num_samples/--device (reference evaluate.py:180-198)."""
+    from medvae_tpu.cli import evaluate, generate
+
+    out = tmp_path / "gen_compat"
+    rc = generate.main([
+        "--model_path", os.path.join(tiny_run, "last"),
+        "--num_samples", "8", "--output_dir", str(out),
+        "--device", "cpu", "--grid_size", "4",
+    ])
+    assert rc == 0 and (out / "samples_grid.png").exists()
+
+    out2 = tmp_path / "eval_compat"
+    rc = evaluate.main([
+        "--model_path", os.path.join(tiny_run, "last"),
+        "--config_path", os.path.join(tiny_run, "config.yaml"),
+        "--num_samples", "32", "--device", "cpu",
+        "--output_dir", str(out2),
+    ])
+    assert rc == 0 and (out2 / "metrics.json").exists()
