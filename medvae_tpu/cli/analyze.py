@@ -112,9 +112,14 @@ def _generate_latents(model, variables, per_modality, rng):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Latent-space modality-separation analysis")
-    p.add_argument("--model_path", required=True)
+    p.add_argument("--model_path", "--checkpoint", dest="model_path",
+                   required=True,
+                   help="checkpoint dir (--checkpoint: reference "
+                        "analyze_latent_space_simple.py alias)")
     p.add_argument("--config", default=None)
-    p.add_argument("--samples_per_modality", type=int, default=200)
+    p.add_argument("--samples_per_modality", "--num_samples",
+                   dest="samples_per_modality", type=int, default=200,
+                   help="samples per modality (--num_samples: reference alias)")
     p.add_argument("--output_dir", default="latent_analysis")
     p.add_argument("--generated", action="store_true",
                    help="analyze sampled latents instead of encoded val data")
