@@ -93,6 +93,18 @@ def main(argv=None) -> int:
         m.update(reconstruction_metrics(out["reconstruction"], x, batch["valid"]))
         m.update(kl_metrics(out["mean"], out["logvar"], batch["valid"]))
         m.update(latent_metrics(out["z"], batch["valid"]))
+        # per-modality PSNR sums (valid-masked): mixed-modality global means
+        # hide per-modality regressions (same breakdown the trainer logs as
+        # val/psnr_<modality>, train/step.py)
+        from medvae_tpu.train.metrics import psnr as _psnr
+
+        onehot = jax.nn.one_hot(batch["modality_idx"], 12, dtype=jnp.float32)
+        onehot = onehot * batch["valid"][:, None]
+        per_sample = _psnr(
+            out["reconstruction"].astype(jnp.float32), x.astype(jnp.float32)
+        )
+        m["_psnr_by_mod"] = jnp.sum(per_sample[:, None] * onehot, axis=0)
+        m["_count_by_mod"] = jnp.sum(onehot, axis=0)
         return m, x, out["reconstruction"], out["mean"]
 
     # optional frozen feature extractor for FID (SimpleCLIPEncoder features)
@@ -111,13 +123,18 @@ def main(argv=None) -> int:
         shuffle=False, drop_last=False, seed=args.seed,
     )
     per_batch: Dict[str, List[float]] = {}
+    psnr_by_mod_sum = np.zeros((12,), np.float64)
+    count_by_mod = np.zeros((12,), np.float64)
     first_x = first_rec = None
     latents, latent_labels = [], []
     for i, batch in enumerate(feeder.epoch(0)):
         m, x, rec, mean = eval_batch(batch, jax.random.fold_in(rng, i))
         # one device_get for the metric dict (per-key fetches pay one
         # host<->device round trip each — ruinous through a tunneled link)
-        for k, v in jax.device_get(m).items():
+        fetched = jax.device_get(m)
+        psnr_by_mod_sum += np.asarray(fetched.pop("_psnr_by_mod"), np.float64)
+        count_by_mod += np.asarray(fetched.pop("_count_by_mod"), np.float64)
+        for k, v in fetched.items():
             per_batch.setdefault(k, []).append(float(v))
         if first_x is None:
             first_x = np.asarray(jax.device_get(x))
@@ -148,6 +165,14 @@ def main(argv=None) -> int:
             "min": float(a.min()),
             "max": float(a.max()),
         }
+    from medvae_tpu.data.medmnist import MODALITY_NAMES
+
+    for mi, name in enumerate(MODALITY_NAMES):
+        if count_by_mod[mi] > 0:
+            summary[f"psnr_{name}"] = {
+                "mean": float(psnr_by_mod_sum[mi] / count_by_mod[mi]),
+                "count": int(count_by_mod[mi]),
+            }
     if args.fid and real_feats:
         from medvae_tpu.analysis import fid_score
 

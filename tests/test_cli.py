@@ -85,6 +85,10 @@ def test_evaluate_cli(tiny_run, tmp_path):
     assert "psnr" in metrics and np.isfinite(metrics["psnr"]["mean"])
     assert np.isfinite(metrics["fid_recon"]["value"])
     assert np.isfinite(metrics["mig"]["value"])
+    # per-modality PSNR breakdown (multi-modal runs cover 5 modalities)
+    by_mod = [k for k in metrics if k.startswith("psnr_")]
+    assert len(by_mod) == 5, by_mod
+    assert all(np.isfinite(metrics[k]["mean"]) for k in by_mod)
     assert (out / "reconstructions.png").exists()
     assert (out / "prior_samples.png").exists()
 
