@@ -85,10 +85,13 @@ def test_evaluate_cli(tiny_run, tmp_path):
     assert "psnr" in metrics and np.isfinite(metrics["psnr"]["mean"])
     assert np.isfinite(metrics["fid_recon"]["value"])
     assert np.isfinite(metrics["mig"]["value"])
-    # per-modality PSNR breakdown (multi-modal runs cover 5 modalities)
+    # per-modality PSNR breakdown: with --max_batches on the reference-
+    # faithful modality-contiguous split only the leading modalities are
+    # seen — at least one must be reported, each with finite mean + count
     by_mod = [k for k in metrics if k.startswith("psnr_")]
-    assert len(by_mod) == 5, by_mod
+    assert by_mod, sorted(metrics)
     assert all(np.isfinite(metrics[k]["mean"]) for k in by_mod)
+    assert all(metrics[k]["count"] > 0 for k in by_mod)
     assert (out / "reconstructions.png").exists()
     assert (out / "prior_samples.png").exists()
 
