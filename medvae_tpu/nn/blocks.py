@@ -121,8 +121,16 @@ class ResnetBlock(nn.Module):
     ) -> jax.Array:
         out_ch = self.out_channels or self.in_channels
 
+        # conv outputs carry a checkpoint name so the selective remat mode
+        # (remat="conv", encoder_decoder._resblock_cls) can SAVE them and
+        # recompute only the cheap GN/SiLU ops in the backward pass — the
+        # FLOPs live in the 3×3 convs, the activation memory is the same
+        # either way per saved tensor.
+        from jax.ad_checkpoint import checkpoint_name
+
         h = norm_swish(x, self.in_channels, "norm1", self.use_pallas)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = checkpoint_name(h, "resblock_conv")
 
         if temb is not None:
             h = h + nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(swish(temb))[
@@ -132,6 +140,7 @@ class ResnetBlock(nn.Module):
         h = norm_swish(h, out_ch, "norm2", self.use_pallas)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = checkpoint_name(h, "resblock_conv")
 
         if self.in_channels != out_ch:
             if self.conv_shortcut:
@@ -142,6 +151,7 @@ class ResnetBlock(nn.Module):
                 x = nn.Conv(
                     out_ch, (1, 1), padding=0, dtype=self.dtype, name="nin_shortcut"
                 )(x)
+            x = checkpoint_name(x, "resblock_conv")
         return x + h
 
 

@@ -23,13 +23,37 @@ from flax import linen as nn
 from medvae_tpu.nn.blocks import Downsample, ResnetBlock, Upsample, make_attn, norm_swish
 
 
-def _resblock_cls(remat: bool):
-    """Optionally rematerialized ResnetBlock: at 224² the conv stack's saved
-    activations dominate HBM (~13.6 GB at batch 64 on v5e without remat);
-    checkpointing each resblock trades ~30% extra FLOPs for ~4× batch."""
+def _resblock_cls(remat):
+    """Rematerialized ResnetBlock at the requested granularity.
+
+    False       — no remat (all activations saved).
+    "conv"      — selective: per-block remat with a save_only_these_names
+                  policy on the blocks' conv outputs, so the backward pass
+                  recomputes only the cheap bandwidth-bound GN/SiLU ops and
+                  never re-runs a 3×3 conv. ~3/5 of no-remat activation
+                  memory for a few % step cost (vs ~12% for full remat at
+                  224², ops/PERF_224.md).
+    other truthy ("block", "full", True) — per-resblock full remat: only the
+                  block input is saved; both convs recompute in backward. At
+                  224² the conv stack's saved activations dominate HBM
+                  (~13.6 GB at batch 64 on v5e without remat); this trades
+                  ~30% extra FLOPs for ~4× batch.
+    """
     if not remat:
         return ResnetBlock
+    if remat not in (True, "block", "conv", "full"):
+        raise ValueError(
+            f"remat={remat!r}: expected False, True/'block', 'conv', or 'full'"
+        )
     # __call__(self=0, x=1, temb=2, deterministic=3)
+    if remat == "conv":
+        return nn.remat(
+            ResnetBlock,
+            static_argnums=(3,),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "resblock_conv"
+            ),
+        )
     return nn.remat(ResnetBlock, static_argnums=(3,))
 
 
@@ -64,7 +88,9 @@ class Encoder(nn.Module):
         after its res/attn blocks (FiLM conditioning — the conditioning params
         live in the caller, so the encoder stays condition-agnostic)."""
         attn_type = "linear" if self.use_linear_attn else self.attn_type
-        block_cls = _resblock_cls(bool(self.remat))  # block-level also nests under "full"
+        block_cls = _resblock_cls(
+            "block" if self.remat == "full" else self.remat
+        )  # full-codec remat nests plain block remat inside
         num_resolutions = len(self.ch_mult)
         in_ch_mult = (1,) + tuple(self.ch_mult)
 
@@ -166,7 +192,9 @@ class Decoder(nn.Module):
         temb: Optional[jax.Array] = None,
     ) -> jax.Array:
         attn_type = "linear" if self.use_linear_attn else self.attn_type
-        block_cls = _resblock_cls(bool(self.remat))  # block-level also nests under "full"
+        block_cls = _resblock_cls(
+            "block" if self.remat == "full" else self.remat
+        )  # full-codec remat nests plain block remat inside
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_resolutions - 1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)

@@ -353,3 +353,54 @@ def test_conditional_vae_film():
     grads = jax.grad(loss_fn)(variables["params"])
     g = grads["film_0"]["scale_transform"]["kernel"]
     assert float(jnp.max(jnp.abs(g))) > 0.0  # FiLM params are in the graph
+
+
+@pytest.mark.parametrize("mode", ["block", "conv", "full"])
+def test_remat_modes_preserve_loss_and_grads(mode):
+    """Remat is a memory/speed knob, never a math change: every granularity
+    (per-block full recompute, selective conv-saving policy, whole-codec)
+    must produce the loss and gradients of the no-remat model bit-for-bit
+    structure-wise and numerically tight (fp32 here)."""
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 28, 28, 1), jnp.float32)
+
+    def build(remat):
+        return BaseVAE(input_channels=1, remat=remat, **QUICK)
+
+    ref_model = build(False)
+    variables = ref_model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x
+    )
+
+    def loss_with(model, params):
+        out = model.apply(
+            {"params": params}, x, rngs={"sample": jax.random.PRNGKey(2)}
+        )
+        kl = -0.5 * jnp.mean(
+            1 + out["logvar"] - out["mean"] ** 2 - jnp.exp(out["logvar"])
+        )
+        return jnp.mean((out["reconstruction"] - x) ** 2) + kl
+
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: loss_with(ref_model, p)
+    )(variables["params"])
+
+    model = build(mode)
+    # identical param structure: remat wrappers are name-transparent
+    reinit = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x
+    )
+    assert jax.tree_util.tree_structure(reinit) == jax.tree_util.tree_structure(
+        variables
+    )
+    loss, grads = jax.value_and_grad(lambda p: loss_with(model, p))(
+        variables["params"]
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+    for (kp, g), (_, rg) in zip(
+        jax.tree_util.tree_leaves_with_path(grads),
+        jax.tree_util.tree_leaves_with_path(ref_grads),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(rg), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp),
+        )
