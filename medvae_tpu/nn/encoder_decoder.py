@@ -29,15 +29,20 @@ def _resblock_cls(remat):
     False       — no remat (all activations saved).
     "conv"      — selective: per-block remat with a save_only_these_names
                   policy on the blocks' conv outputs, so the backward pass
-                  recomputes only the cheap bandwidth-bound GN/SiLU ops and
-                  never re-runs a 3×3 conv. ~3/5 of no-remat activation
-                  memory for a few % step cost (vs ~12% for full remat at
-                  224², ops/PERF_224.md).
+                  recomputes only the GN/SiLU ops and never re-runs a 3×3
+                  conv. **Measured useless on v5e** (ops/PERF_224.md,
+                  scripts/probe_remat_memory.py): compiled peak HBM is
+                  within 9 MiB of no-remat at 224² bs 32 — XLA's vanilla
+                  backward already recomputes fused elementwise epilogues,
+                  so naming the conv outputs saves nothing — and the remat
+                  region structure costs enough scheduler freedom that
+                  bs 48 *fails to compile* where no-remat fits. Kept as a
+                  correct, tested policy point; do not reach for it.
     other truthy ("block", "full", True) — per-resblock full remat: only the
-                  block input is saved; both convs recompute in backward. At
-                  224² the conv stack's saved activations dominate HBM
-                  (~13.6 GB at batch 64 on v5e without remat); this trades
-                  ~30% extra FLOPs for ~4× batch.
+                  block input is saved; both convs recompute in backward.
+                  Measured peak HBM at 224²: 11.3 GiB vs 14.7 no-remat
+                  (bs 32), 14.4 vs 15.2 (bs 48); cost ~12% step time.
+                  This is the mode the trainer auto-enables at ≥112².
     """
     if not remat:
         return ResnetBlock
