@@ -47,16 +47,38 @@ from medvae_tpu.utils.training_utils import EarlyStopping
 FUSED_AUTO_MIN_STEPS = int(os.environ.get("MEDVAE_FUSED_MIN_STEPS", 200))
 
 
-def build_model(model_cfg: Dict[str, Any], precision: str = "bf16", use_pallas: bool = True):
-    """Instantiate a model from config with the TPU precision policy applied."""
+_REMAT_UNSET = object()
+
+
+def build_model(
+    model_cfg: Dict[str, Any],
+    precision: str = "bf16",
+    use_pallas: bool = True,
+    remat: Any = _REMAT_UNSET,
+):
+    """Instantiate a model from config with the TPU precision policy applied.
+
+    `remat` overrides the config's remat field (the Trainer's `remat: auto`
+    resolution rebuilds the model at the probed rung; remat wrappers are
+    parameter-transparent so existing variables stay valid)."""
     from medvae_tpu.core.precision import default_policy
 
     policy = default_policy(mixed=str(precision) in ("bf16", "16", "bfloat16"))
     extra = {"dtype": policy.compute_dtype, "use_pallas": bool(use_pallas)}
     cfg = dict(model_cfg)
-    # activation checkpointing by default at high resolutions (HBM headroom);
-    # "full" = whole encoder/decoder (block-level still OOMs at 224² bs128)
-    if "remat" not in cfg and int(cfg.get("resolution", 28)) >= 112:
+    if remat is not _REMAT_UNSET:
+        cfg.pop("remat", None)
+        extra["remat"] = remat
+    # default at high resolutions is `auto`: the Trainer probes the device
+    # (train/autoremat.py) and keeps the cheapest rung that fits — no remat
+    # is +12% step throughput over block remat when HBM allows
+    # (ops/PERF_224.md). Outside the Trainer — and as the Trainer's
+    # pre-probe build — `auto` means the safe "full" rung (whole
+    # encoder/decoder; block-level still OOMs at 224² bs128).
+    elif str(cfg.get("remat", "")).lower() == "auto" or (
+        "remat" not in cfg and int(cfg.get("resolution", 28)) >= 112
+    ):
+        cfg.pop("remat", None)
         extra["remat"] = "full"
     # tuples for hashable flax fields
     for k in ("ch_mult", "attn_resolutions"):
@@ -105,6 +127,15 @@ class Trainer:
         self.datamodule.setup(None)
 
         # model ---------------------------------------------------------------
+        # remat "auto" (the default at resolution ≥112): build at the safe
+        # "full" rung now, probe the device for the cheapest fitting rung
+        # once the production step's full memory picture (optimizer, frozen
+        # nets, batch size) exists below
+        _mcfg = dict(cfg["model"])
+        _remat_req = _mcfg.get(
+            "remat", "auto" if int(_mcfg.get("resolution", 28)) >= 112 else False
+        )
+        self._auto_remat = str(_remat_req).lower() == "auto"
         self.model = build_model(
             cfg["model"],
             precision=cfg.get("precision", "bf16"),
@@ -339,6 +370,33 @@ class Trainer:
                     tcfg.get("accumulate_grad_batches", 1) or 1
                 ),
             )
+            if self._auto_remat and not self._auto_bs:
+                # probe the remat ladder with the production step; the
+                # winning rung's compile lands in the persistent XLA cache,
+                # so the real first step below reuses it. Skipped under
+                # batch_size=auto: the batch probe already maxed out memory
+                # against the safe "full" rung.
+                from medvae_tpu.train.autoremat import resolve_auto_remat
+
+                chosen, model = resolve_auto_remat(
+                    make_model=lambda r: build_model(
+                        cfg["model"],
+                        precision=cfg.get("precision", "bf16"),
+                        use_pallas=bool(cfg.get("use_pallas", True)),
+                        remat=r,
+                    ),
+                    step_kwargs={
+                        k: v for k, v in self._step_kwargs.items() if k != "model"
+                    },
+                    state=self.state,
+                    datamodule=self.datamodule,
+                    mesh=self.mesh,
+                    seed_key=self.seed_key,
+                    reserve_bytes=self._projected_cache_bytes(),
+                )
+                if chosen != "full":  # pre-probe build is the "full" rung
+                    self.model = model
+                    self._step_kwargs["model"] = model
             self.train_step = build_train_step(**self._step_kwargs)
         self._eval_kwargs = dict(
             model=self.model,

@@ -1,0 +1,166 @@
+"""remat='auto' — memory-guided activation-checkpoint selection.
+
+Covers the pure ladder logic (choose_remat), budget resolution, the
+build_model 'auto'→'full' safe resolution outside the Trainer, and the
+non-TPU short-circuit of resolve_auto_remat. The on-device AOT probing
+itself is validated by scripts/probe_remat_memory.py on real hardware
+(measured table in ops/PERF_224.md)."""
+
+import jax
+import pytest
+
+from medvae_tpu.models import BaseVAE
+from medvae_tpu.train.autoremat import (
+    RUNTIME_GUARD_BYTES,
+    choose_remat,
+    device_hbm_budget,
+    resolve_auto_remat,
+)
+from medvae_tpu.train.trainer import build_model
+
+GIB = 2**30
+QUIET = lambda _msg: None  # noqa: E731
+
+
+def make_probe(peaks):
+    """probe(rung) from a {rung: peak_bytes | Exception | None} table."""
+    calls = []
+
+    def probe(rung):
+        calls.append(rung)
+        v = peaks[rung]
+        if isinstance(v, Exception):
+            raise v
+        return v
+
+    probe.calls = calls
+    return probe
+
+
+def test_first_fitting_rung_wins():
+    probe = make_probe({False: 10 * GIB, "block": 8 * GIB})
+    chosen = choose_remat(probe, budget=15 * GIB, log=QUIET)
+    assert chosen is False
+    assert probe.calls == [False]  # later rungs never compiled
+
+
+def test_oom_compile_falls_through_to_next_rung():
+    probe = make_probe(
+        {False: RuntimeError("RESOURCE_EXHAUSTED: ..."), "block": 8 * GIB}
+    )
+    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == "block"
+
+
+def test_generic_compile_failure_is_a_rejection_not_a_crash():
+    # the tunneled compiler surfaces compile-time OOM as an opaque HTTP 500
+    probe = make_probe(
+        {False: RuntimeError("INTERNAL: HTTP 500"), "block": 8 * GIB}
+    )
+    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == "block"
+
+
+def test_budget_includes_reserve_and_guard():
+    budget = 15 * GIB
+    peak = budget - RUNTIME_GUARD_BYTES - 1 * GIB
+    probe = make_probe({False: peak, "block": 1 * GIB})
+    # fits with no reserve…
+    assert choose_remat(probe, budget, reserve_bytes=0, log=QUIET) is False
+    # …but a planned 2 GiB device cache pushes it over
+    probe2 = make_probe({False: peak, "block": 1 * GIB})
+    assert (
+        choose_remat(probe2, budget, reserve_bytes=2 * GIB, log=QUIET) == "block"
+    )
+
+
+def test_unreadable_peak_accepted_only_without_reserve():
+    probe = make_probe({False: None})
+    assert choose_remat(probe, budget=None, reserve_bytes=0, log=QUIET) is False
+    probe2 = make_probe({False: None, "block": None})
+    assert (
+        choose_remat(probe2, budget=None, reserve_bytes=1, log=QUIET) == "full"
+    )
+
+
+def test_unknown_budget_with_reserve_falls_back():
+    probe = make_probe({False: 1 * GIB, "block": 1 * GIB})
+    assert choose_remat(probe, budget=None, reserve_bytes=1, log=QUIET) == "full"
+
+
+def test_all_rungs_rejected_uses_fallback_unprobed():
+    probe = make_probe(
+        {False: RuntimeError("OOM"), "block": RuntimeError("OOM")}
+    )
+    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == "full"
+    assert "full" not in probe.calls
+
+
+class FakeDevice:
+    def __init__(self, stats=None, kind="TPU v5 lite", platform="tpu"):
+        self._stats = stats
+        self.device_kind = kind
+        self.platform = platform
+
+    def memory_stats(self):
+        return self._stats
+
+
+def test_budget_prefers_memory_stats():
+    dev = FakeDevice(stats={"bytes_limit": 123})
+    assert device_hbm_budget(dev) == 123
+
+
+def test_budget_env_override(monkeypatch):
+    monkeypatch.setenv("MEDVAE_HBM_BYTES", str(7 * GIB))
+    assert device_hbm_budget(FakeDevice(stats={})) == 7 * GIB
+
+
+def test_budget_kind_table():
+    assert device_hbm_budget(FakeDevice(stats={})) == int(15.75 * GIB)
+    assert device_hbm_budget(FakeDevice(stats={}, kind="TPU v99")) is None
+
+
+def test_resolve_short_circuits_on_non_tpu():
+    # the test mesh is CPU: no probing, fallback rung, state untouched
+    assert jax.devices()[0].platform == "cpu"
+    built = []
+    chosen, model = resolve_auto_remat(
+        make_model=lambda r: built.append(r) or ("model", r),
+        step_kwargs=None,  # would crash if probing were attempted
+        state=None,
+        datamodule=None,
+        mesh=None,
+        seed_key=None,
+        log=QUIET,
+    )
+    assert chosen == "full" and model == ("model", "full")
+    assert built == ["full"]
+
+
+MODEL_CFG = dict(
+    _target_="medvae_tpu.models.BaseVAE",
+    input_channels=1,
+    latent_dim=16,
+    hidden_channels=32,
+    ch_mult=[1, 2, 4],
+    num_res_blocks=1,
+    attn_resolutions=[],
+    resolution=224,
+)
+
+
+def test_build_model_resolves_auto_to_full_outside_trainer():
+    m = build_model(dict(MODEL_CFG, remat="auto"))
+    assert isinstance(m, BaseVAE) and m.remat == "full"
+
+
+def test_build_model_high_resolution_default_is_full():
+    assert build_model(dict(MODEL_CFG)).remat == "full"
+    low = dict(MODEL_CFG, resolution=28, attn_resolutions=[])
+    assert build_model(low).remat is False
+
+
+def test_build_model_remat_override_beats_config():
+    m = build_model(dict(MODEL_CFG, remat="auto"), remat=False)
+    assert m.remat is False
+    m2 = build_model(dict(MODEL_CFG, remat="block"), remat="full")
+    assert m2.remat == "full"
