@@ -136,6 +136,122 @@ def test_resolve_short_circuits_on_non_tpu():
     assert built == ["full"]
 
 
+class _FakeTPU:
+    """Stands in for jax.devices()[0] so the probe path runs on CPU."""
+
+    platform = "tpu"
+    device_kind = "TPU v5 lite"
+
+    def __init__(self, bytes_limit):
+        self._bytes_limit = bytes_limit
+
+    def memory_stats(self):
+        return {"bytes_limit": self._bytes_limit}
+
+
+class _FakeDataModule:
+    size = 28
+    max_channels = 3
+    batch_size = 16
+
+
+def _probe_harness(monkeypatch, peaks, budget, reserve_bytes=0):
+    """Drive resolve_auto_remat's real probing path end-to-end on CPU:
+    fake TPU device, stubbed build_train_step whose AOT 'compile' reports
+    the given per-rung peaks. Returns (chosen, model, captured)."""
+    import jax as _jax
+
+    from medvae_tpu.core.mesh import MeshSpec, create_mesh
+    import medvae_tpu.train.step as step_mod
+
+    monkeypatch.setattr(
+        _jax, "devices", lambda *a, **k: [_FakeTPU(budget)]
+    )
+    captured = {"models": [], "batches": [], "kwargs": []}
+
+    class _FakeCompiled:
+        def __init__(self, peak):
+            self._peak = peak
+
+        def memory_analysis(self):
+            class MA:
+                temp_size_in_bytes = self._peak
+                argument_size_in_bytes = 0
+
+            return MA()
+
+    class _FakeLowered:
+        def __init__(self, peak):
+            self._peak = peak
+
+        def compile(self):
+            v = self._peak
+            if isinstance(v, Exception):
+                raise v
+            return _FakeCompiled(v)
+
+    def fake_build_train_step(model, **kwargs):
+        captured["models"].append(model)
+        captured["kwargs"].append(kwargs)
+
+        def lower(state, batch, rng):
+            captured["batches"].append(batch)
+            return _FakeLowered(peaks[model[1]])  # model == ("m", rung)
+
+        return type("S", (), {"lower": staticmethod(lower)})()
+
+    monkeypatch.setattr(step_mod, "build_train_step", fake_build_train_step)
+    # mesh on the real CPU device (jax.local_devices is left unpatched)
+    mesh = create_mesh(MeshSpec(data=1, model=1), [_jax.local_devices()[0]])
+    chosen, model = resolve_auto_remat(
+        make_model=lambda r: ("m", r),
+        step_kwargs={"loss_cfg": {"type": "vae"}},
+        state=None,
+        datamodule=_FakeDataModule(),
+        mesh=mesh,
+        seed_key=jax.random.key(0),
+        reserve_bytes=reserve_bytes,
+        log=QUIET,
+    )
+    return chosen, model, captured
+
+
+def test_probe_path_selects_no_remat_when_it_fits(monkeypatch):
+    chosen, model, cap = _probe_harness(
+        monkeypatch, peaks={False: 4 * GIB}, budget=16 * GIB
+    )
+    assert chosen is False and model == ("m", False)
+    # only the winning rung was compiled; the production kwargs flowed through
+    assert [m[1] for m in cap["models"]] == [False]
+    assert cap["kwargs"][0] == {"loss_cfg": {"type": "vae"}}
+    # the probe batch is production-shaped and device-resident
+    b = cap["batches"][0]
+    assert b["image_u8"].shape == (16, 28, 28, 3)
+    assert b["modality_onehot"].shape[0] == 16
+    assert isinstance(b["image_u8"], jax.Array)
+
+
+def test_probe_path_reserve_forces_cheaper_rung(monkeypatch):
+    # 14 GiB step fits 16 GiB alone but not once 3 GiB of caches land
+    chosen, model, cap = _probe_harness(
+        monkeypatch,
+        peaks={False: 14 * GIB, "block": 10 * GIB},
+        budget=16 * GIB,
+        reserve_bytes=3 * GIB,
+    )
+    assert chosen == "block" and model == ("m", "block")
+    assert [m[1] for m in cap["models"]] == [False, "block"]
+
+
+def test_probe_path_compile_oom_falls_through(monkeypatch):
+    chosen, model, _ = _probe_harness(
+        monkeypatch,
+        peaks={False: RuntimeError("RESOURCE_EXHAUSTED"), "block": 8 * GIB},
+        budget=16 * GIB,
+    )
+    assert chosen == "block" and model == ("m", "block")
+
+
 MODEL_CFG = dict(
     _target_="medvae_tpu.models.BaseVAE",
     input_channels=1,
