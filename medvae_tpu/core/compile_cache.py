@@ -20,18 +20,48 @@ Enabled once at package import (medvae_tpu/__init__.py). Controls:
 Backends that cannot serialize executables are skipped gracefully (JAX warns
 and compiles as usual — jax_raise_persistent_cache_errors stays False).
 
+Entries are scoped under a per-machine-signature subdirectory
+(jax version + backend machine + CPU feature hash), so moving the cache
+directory between hosts — or a driver image change — produces clean misses
+instead of stale cross-machine loads.
+
 Known cosmetic noise: on CPU cache *hits*, XLA's AOT loader logs a machine-
-feature mismatch error (it compares its own `prefer-no-scatter/gather`
-tuning pseudo-features against cpuid). Same-host loads proceed correctly;
-the message is spurious.
+feature mismatch error even same-host (it records `prefer-no-scatter/gather`
+tuning pseudo-features at compile time and compares them against raw cpuid
+at load). Loads proceed correctly; the message is spurious. One-shot
+correctness artifacts (the driver's multichip dryrun) therefore disable the
+cache via `disable_compile_cache()` — a hit saves nothing there and the
+spam would bury the artifact's signal.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform as _platform
 from typing import Optional
 
 _enabled_dir: Optional[str] = None
+
+
+def machine_signature() -> str:
+    """Short stable signature of (jax version, arch, CPU feature set).
+
+    Used to scope persistent-cache entries: a different machine (or jax/XLA
+    upgrade) gets a sibling cache directory, so stale entries compiled under
+    another signature are never even candidates for loading."""
+    import jax
+
+    parts = [jax.__version__, _platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        parts.append(_platform.processor() or "")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
@@ -42,11 +72,15 @@ def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
     global _enabled_dir
     if os.environ.get("MEDVAE_COMPILE_CACHE", "1") in ("0", "false", "off"):
         return None
-    path = (
+    base = (
         path
         or os.environ.get("MEDVAE_COMPILE_CACHE_DIR")
         or os.path.expanduser("~/.cache/medvae_tpu/xla")
     )
+    try:
+        path = os.path.join(base, machine_signature())
+    except Exception:  # noqa: BLE001 - signature is best-effort scoping
+        path = base
     if _enabled_dir == path:
         return path
 
@@ -85,3 +119,20 @@ def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
         return None
     _enabled_dir = path
     return path
+
+
+def disable_compile_cache() -> None:
+    """Turn the persistent cache off for this process (idempotent).
+
+    For one-shot runs whose stdout is the artifact (the driver's multichip
+    dryrun): a cache hit saves nothing there, and XLA's spurious
+    cpu_aot_loader machine-feature errors on CPU hits would bury the
+    artifact's `ok` lines."""
+    global _enabled_dir
+    import jax
+
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:  # noqa: BLE001 - older jax without the flag
+        jax.config.update("jax_compilation_cache_dir", None)
+    _enabled_dir = None

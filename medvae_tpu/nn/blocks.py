@@ -19,6 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 
 def swish(x: jax.Array) -> jax.Array:
@@ -126,8 +127,6 @@ class ResnetBlock(nn.Module):
         # recompute only the cheap GN/SiLU ops in the backward pass — the
         # FLOPs live in the 3×3 convs, the activation memory is the same
         # either way per saved tensor.
-        from jax.ad_checkpoint import checkpoint_name
-
         h = norm_swish(x, self.in_channels, "norm1", self.use_pallas)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         h = checkpoint_name(h, "resblock_conv")

@@ -198,9 +198,12 @@ def resolve_auto_remat(
         return rungs[-1], make_model(rungs[-1])
 
     budget = device_hbm_budget(device)
-    batch = shard_batch(
-        mesh, synthetic_host_batch(datamodule, int(datamodule.batch_size))
-    )
+    # shard_batch's multi-process path treats its input as the LOCAL rows of
+    # the global batch (mirroring pipeline.py's per-host slicing), so the
+    # probe batch must be sized per-host or multi-host runs would compile a
+    # process_count-times oversized step and reject rungs that actually fit.
+    local_rows = max(int(datamodule.batch_size) // jax.process_count(), 1)
+    batch = shard_batch(mesh, synthetic_host_batch(datamodule, local_rows))
     rng = jax.random.fold_in(seed_key, 98)
     models: Dict[Any, Any] = {}
 

@@ -73,12 +73,21 @@ def build_optimizer(
     lr = float(optimizer_cfg.get("lr", 1e-4)) * lr_scale
     wd = float(optimizer_cfg.get("weight_decay", 0.0))
     betas = betas_override or tuple(optimizer_cfg.get("betas", (0.9, 0.999)))
+    eps = float(optimizer_cfg.get("eps", 1e-8))
     schedule = build_schedule(scheduler_cfg, lr, steps_per_epoch)
 
+    # Adam epsilon placement, pinned explicitly: torch.optim.Adam{,W} computes
+    # m̂/(√v̂ + ε); optax parameterizes m̂/(√(v̂ + ε_root) + ε). eps_root=0
+    # makes the two identical update rules — verified over a 12-step training
+    # trajectory against the torch reference in
+    # tests/test_torch_parity.py::test_training_trajectory_parity.
     if kind == "adam":
-        core = optax.adam(schedule, b1=betas[0], b2=betas[1])
+        core = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps, eps_root=0.0)
     elif kind == "adamw":
-        core = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=wd)
+        core = optax.adamw(
+            schedule, b1=betas[0], b2=betas[1], eps=eps, eps_root=0.0,
+            weight_decay=wd,
+        )
     elif kind == "sgd":
         core = optax.sgd(schedule, momentum=float(optimizer_cfg.get("momentum", 0.9)))
     else:

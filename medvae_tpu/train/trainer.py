@@ -323,6 +323,14 @@ class Trainer:
                 f"+training.allow_microbatched_disentangled=true if the "
                 f"microbatch size still covers every modality."
             )
+        if self._auto_remat and explicit_sm:
+            # the probe below only covers the default jit step; say so
+            # instead of silently charging the ~12% 'full'-rung recompute
+            print(
+                "remat=auto: probing is skipped on the explicit shard_map "
+                "step; using the safe 'full' rung (set model.remat "
+                "explicitly to avoid its ~12% recompute cost if HBM allows)"
+            )
         if explicit_sm and use_gan:
             from medvae_tpu.parallel import build_shard_map_gan_step
 
@@ -370,6 +378,12 @@ class Trainer:
                     tcfg.get("accumulate_grad_batches", 1) or 1
                 ),
             )
+            if self._auto_remat and self._auto_bs:
+                print(
+                    "remat=auto: probing is skipped under batch_size=auto "
+                    "(the batch probe already maxed memory against the safe "
+                    "'full' rung); effective remat='full'"
+                )
             if self._auto_remat and not self._auto_bs:
                 # probe the remat ladder with the production step; the
                 # winning rung's compile lands in the persistent XLA cache,

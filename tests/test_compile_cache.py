@@ -1,6 +1,7 @@
 """Persistent compilation cache wiring (core/compile_cache.py): enabled at
-package import, idempotent, env-disable honored, and actually populated by a
-jitted computation (so supervisor relaunches / CLI reruns skip compiles)."""
+package import, machine-signature scoped, idempotent, env-disable honored,
+and actually populated by a jitted computation (so supervisor relaunches /
+CLI reruns skip compiles)."""
 
 import os
 
@@ -15,24 +16,40 @@ def test_cache_enabled_at_import():
     assert jax.config.jax_compilation_cache_dir, "cache dir not configured"
 
 
+def test_machine_signature_scoping(tmp_path):
+    """Entries live under <base>/<machine-signature>: a different machine
+    (or jax upgrade) gets a sibling directory, never stale loads."""
+    from medvae_tpu.core import compile_cache
+
+    sig = compile_cache.machine_signature()
+    assert sig == compile_cache.machine_signature()  # stable
+    assert len(sig) == 12
+
+    d = str(tmp_path / "xla")
+    got = compile_cache.enable_compile_cache(d)
+    assert got == os.path.join(d, sig)
+    compile_cache.enable_compile_cache()  # restore the default dir
+
+
 def test_enable_is_idempotent_and_env_disable(tmp_path, monkeypatch):
     from medvae_tpu.core import compile_cache
 
     d = str(tmp_path / "xla")
-    assert compile_cache.enable_compile_cache(d) == d
-    assert compile_cache.enable_compile_cache(d) == d  # no-op second time
-    assert jax.config.jax_compilation_cache_dir == d
+    got = compile_cache.enable_compile_cache(d)
+    assert got and got.startswith(d)
+    assert compile_cache.enable_compile_cache(d) == got  # no-op second time
+    assert jax.config.jax_compilation_cache_dir == got
 
     monkeypatch.setenv("MEDVAE_COMPILE_CACHE", "0")
     assert compile_cache.enable_compile_cache(str(tmp_path / "other")) is None
-    assert jax.config.jax_compilation_cache_dir == d  # unchanged
+    assert jax.config.jax_compilation_cache_dir == got  # unchanged
+    compile_cache.enable_compile_cache()  # restore the default dir
 
 
 def test_cache_populated_by_jit(tmp_path):
     from medvae_tpu.core import compile_cache
 
-    d = str(tmp_path / "xla2")
-    compile_cache.enable_compile_cache(d)
+    d = compile_cache.enable_compile_cache(str(tmp_path / "xla2"))
     try:
         # force-persist even sub-second compiles so the test is fast
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -43,6 +60,20 @@ def test_cache_populated_by_jit(tmp_path):
         assert entries, "no cache entries written"
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        compile_cache.enable_compile_cache()  # restore the default dir
+
+
+def test_disable_compile_cache(tmp_path):
+    """One-shot artifact runs (driver dryrun) can switch the cache off so
+    XLA's spurious cpu_aot_loader errors on CPU hits can't bury stdout."""
+    from medvae_tpu.core import compile_cache
+
+    compile_cache.enable_compile_cache(str(tmp_path / "xla3"))
+    compile_cache.disable_compile_cache()
+    try:
+        assert not jax.config.jax_enable_compilation_cache
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
         compile_cache.enable_compile_cache()  # restore the default dir
 
 
