@@ -44,14 +44,22 @@ _MIN_CHANNELS = 64
 
 
 def fused_attention_or_none(q: jax.Array, k: jax.Array, v: jax.Array):
-    """(b, n, c) q/k/v → (b, n, c) attention output, or None if out of envelope."""
+    """(b, n, c) q/k/v → (b, n, c) attention output, or None if out of envelope.
+
+    Dispatch: the whole-sequence kernel below when (n, n) fits VMEM; the
+    tiled flash kernels (ops/flash_attention.py) for the larger levels the
+    flagship 224² model produces (3136×512, 784×1024), where the einsum
+    fallback's (b, n, n) HBM softmax is the measured bottleneck
+    (ops/PERF_FLAGSHIP.md)."""
     _, n, c = q.shape
     if not _on_tpu():
         return None
     if n < _MIN_TOKENS or c < _MIN_CHANNELS:
         return None
     if _vmem_estimate(n, c) > _VMEM_BUDGET:
-        return None
+        from medvae_tpu.ops.flash_attention import flash_attention_or_none
+
+        return flash_attention_or_none(q, k, v)
     return fused_attention(q, k, v)
 
 
