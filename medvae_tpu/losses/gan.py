@@ -83,15 +83,21 @@ class LPIPSWithDiscriminator:
     # None keeps the fixed-seed random trunks
     weights_path: "str | None" = None
     clip_weights_path: "str | None" = None
+    # compute dtype for the frozen towers (params stay fp32; reductions fp32).
+    # The production step runs them in bf16 — ops/PERF_FLAGSHIP.md.
+    tower_dtype: str = "float32"
 
     def __post_init__(self):
-        self.perceptual_loss = LPIPSLoss(weights_path=self.weights_path)
+        self.perceptual_loss = LPIPSLoss(
+            weights_path=self.weights_path, dtype=self.tower_dtype
+        )
         self.biomed_clip_loss = (
             BiomedCLIPLoss(
                 compute_rec_loss=True,
                 compute_lat_loss=False,
                 encoder=self.clip_encoder,
                 weights_path=self.clip_weights_path,
+                dtype=self.tower_dtype,
             )
             if self.use_biomedclip_loss
             else None

@@ -96,17 +96,23 @@ class LPIPSNet(nn.Module):
         fb = trunk(prep(b))
 
         total = jnp.zeros((a.shape[0],), jnp.float32)
-        for i, (xa, xb) in enumerate(zip(fa, fb)):
+
+        def unit_normalize(x):
             # lpips.normalize_tensor: x / (sqrt(sum(x^2)) + 1e-10) — NB the eps
             # sits OUTSIDE the sqrt (torch-oracle-tested in
-            # tests/test_perceptual_parity.py)
-            na = xa / (
-                jnp.sqrt(jnp.sum(jnp.square(xa), axis=-1, keepdims=True)) + 1e-10
+            # tests/test_perceptual_parity.py). The channel sum-of-squares
+            # accumulates in fp32 regardless of the trunk compute dtype
+            # (identical math for the fp32 oracle path; required for bf16
+            # taps, whose 8-bit mantissa cannot hold a 64-384-term sum).
+            x32 = x.astype(jnp.float32)
+            return x32 / (
+                jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True)) + 1e-10
             )
-            nb = xb / (
-                jnp.sqrt(jnp.sum(jnp.square(xb), axis=-1, keepdims=True)) + 1e-10
-            )
-            diff = jnp.square(na - nb).astype(jnp.float32)
+
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            na = unit_normalize(xa)
+            nb = unit_normalize(xb)
+            diff = jnp.square(na - nb)
             lin = self.param(
                 f"lin{i}",
                 nn.initializers.constant(1.0 / self.channels[i]),
@@ -124,10 +130,19 @@ class LPIPSLoss:
     LPIPSLoss: inputs in [0,1]-ish model space are rescaled to [−1,1] (:84-86),
     grayscale repeated to RGB (:88-92), result is the batch mean."""
 
-    def __init__(self, net: str = "alex", weights_path: Optional[str] = None):
+    def __init__(
+        self,
+        net: str = "alex",
+        weights_path: Optional[str] = None,
+        dtype: jnp.dtype = jnp.float32,
+    ):
         if net != "alex":
             raise NotImplementedError("only the alex trunk is implemented")
-        self.module = LPIPSNet()
+        # `dtype` is the trunk COMPUTE dtype (params stay fp32; LPIPS
+        # normalize/lin reductions stay fp32 either way). The production
+        # train step runs the frozen towers in bf16 (ops/PERF_FLAGSHIP.md);
+        # fp32 is the torch-oracle-parity default.
+        self.module = LPIPSNet(dtype=jnp.dtype(dtype))
         self._weights_path = weights_path
 
     def init(self, rng: jax.Array, image_hw: int = 64) -> Dict:
@@ -200,16 +215,21 @@ class BiomedCLIPLoss:
         compute_lat_loss: bool = False,
         encoder: str = "simple",
         weights_path: Optional[str] = None,
+        dtype: jnp.dtype = jnp.float32,
     ):
         self.compute_rec_loss = compute_rec_loss
         self.compute_lat_loss = compute_lat_loss
+        # `dtype` is the tower COMPUTE dtype (params stay fp32; LayerNorms,
+        # attention logits, and the feature distance reduce in fp32 either
+        # way). bf16 in the production step; fp32 = oracle-parity default.
+        dtype = jnp.dtype(dtype)
         if encoder == "vit":
             # ViT-B/32 image tower (the reference's primary open_clip path)
             from medvae_tpu.losses.clip_vit import CLIPViT
 
-            self.module = CLIPViT()
+            self.module = CLIPViT(dtype=dtype)
         elif encoder == "simple":
-            self.module = SimpleCLIPEncoder()
+            self.module = SimpleCLIPEncoder(dtype=dtype)
         else:
             raise ValueError(f"Unknown clip encoder: {encoder}")
         self._weights_path = weights_path
@@ -226,7 +246,13 @@ class BiomedCLIPLoss:
         img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
         img = _to_rgb(img)
         b = img.shape[0]
-        img = jax.image.resize(img, (b, 224, 224, 3), method="cubic")
+        # cubic resize only when the shape actually changes: at the native
+        # 224² flagship resolution the reference's resize is an identity on
+        # shapes, and XLA still materializes the two cubic gather/matmul
+        # passes per branch (measured in scripts/profile_flagship.py) —
+        # static-shape check, so jit traces the cheap path.
+        if img.shape[1:3] != (224, 224):
+            img = jax.image.resize(img, (b, 224, 224, 3), method="cubic")
         mean = jnp.asarray(_CLIP_MEAN, img.dtype)
         std = jnp.asarray(_CLIP_STD, img.dtype)
         return (img - mean) / std
@@ -242,10 +268,10 @@ class BiomedCLIPLoss:
         latent: Optional[jax.Array] = None,
     ) -> jax.Array:
         params = jax.lax.stop_gradient(params)
-        img_features = self._encode(params, img)
+        img_features = self._encode(params, img).astype(jnp.float32)
         total = jnp.asarray(0.0, jnp.float32)
         if self.compute_rec_loss and rec is not None:
-            rec_features = self._encode(params, rec)
+            rec_features = self._encode(params, rec).astype(jnp.float32)
             total += jnp.mean(
                 jnp.sum(jnp.square(img_features - rec_features), axis=1)
             )
@@ -255,7 +281,7 @@ class BiomedCLIPLoss:
             b = lat.shape[0]
             lat = jax.image.resize(lat, (b, 224, 224, 1), method="linear")
             lat = jnp.repeat(lat, 3, axis=-1)
-            lat_features = self.module.apply(params, lat)
+            lat_features = self.module.apply(params, lat).astype(jnp.float32)
             total += jnp.mean(
                 jnp.sum(jnp.square(img_features - lat_features), axis=1)
             )

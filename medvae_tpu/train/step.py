@@ -144,6 +144,20 @@ def preprocess(
 # --------------------------------------------------------------------------- #
 
 
+def _tower_dtype(loss_cfg: Dict[str, Any]) -> str:
+    """Compute dtype for the frozen feature towers (LPIPS / CLIP).
+
+    Defaults to fp32: measured on v5e at the production shapes
+    (ops/PERF_FLAGSHIP.md), the fp32 towers cost ~50 ms of a ~1 s step —
+    and the bf16 CLIP ViT is pathologically SLOWER (XLA lays out the
+    50-token × 64-dim-head attention into padded 16-row bf16 tiles), so
+    bf16 buys nothing here. `loss.tower_dtype: bfloat16` remains available;
+    all reductions (LPIPS channel normalize + lin heads, CLIP LayerNorms/
+    attention logits/feature distance) stay fp32 either way.
+    """
+    return str(loss_cfg.get("tower_dtype", "float32") or "float32")
+
+
 def make_criterion(loss_cfg: Dict[str, Any], model) -> Callable:
     """Returns criterion(frozen, outputs, targets) -> loss dict (fp32 scalars)."""
     loss_type = str(loss_cfg.get("type", "vae"))
@@ -175,12 +189,14 @@ def make_criterion(loss_cfg: Dict[str, Any], model) -> Callable:
         p_w = float(loss_cfg.get("perceptual_weight", 0.0) or 0.0)
         bc_w = float(loss_cfg.get("biomedclip_weight", 0.0) or 0.0)
         if p_w or bc_w:
-            lp = LPIPSLoss() if p_w else None
+            td = _tower_dtype(loss_cfg)
+            lp = LPIPSLoss(dtype=td) if p_w else None
             bc = (
                 BiomedCLIPLoss(
                     compute_rec_loss=True,
                     compute_lat_loss=False,
                     encoder=loss_cfg.get("clip_encoder", "simple"),
+                    dtype=td,
                 )
                 if bc_w
                 else None
@@ -209,7 +225,7 @@ def make_criterion(loss_cfg: Dict[str, Any], model) -> Callable:
         return lambda frozen, outputs, targets: crit(outputs, targets)
 
     if loss_type == "lpips":
-        lp = LPIPSLoss()
+        lp = LPIPSLoss(dtype=_tower_dtype(loss_cfg))
 
         def criterion(frozen, outputs, targets):
             loss = lp(frozen["lpips"], targets, outputs["reconstruction"])
@@ -222,6 +238,7 @@ def make_criterion(loss_cfg: Dict[str, Any], model) -> Callable:
             compute_rec_loss=True,
             compute_lat_loss=False,
             encoder=loss_cfg.get("clip_encoder", "simple"),
+            dtype=_tower_dtype(loss_cfg),
         )
 
         def criterion(frozen, outputs, targets):
@@ -245,6 +262,7 @@ def make_gan_loss(loss_cfg: Dict[str, Any]) -> LPIPSWithDiscriminator:
         clip_encoder=str(loss_cfg.get("clip_encoder", "simple")),
         weights_path=loss_cfg.get("weights_path") or None,
         clip_weights_path=loss_cfg.get("clip_weights_path") or None,
+        tower_dtype=_tower_dtype(loss_cfg),
     )
 
 
