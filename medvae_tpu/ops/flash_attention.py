@@ -39,21 +39,34 @@ import jax.numpy as jnp
 # A (BQ, BK) fp32 logits tile + two (B*, c) operand tiles per stage must fit
 # VMEM alongside the fp32 accumulators; 512² tiles with c ≤ 1024 stay ~6-8MB.
 _MAX_BLOCK = 512
+_MAX_STREAM_BLOCK = 1024  # streamed (revisited-axis) operands may be larger
 _MIN_BLOCK = 256  # smaller tiles underfeed the MXU — einsum wins there
 _LANES = 128  # lse/delta are carried lane-replicated to stay (8,128)-tileable
 
 
-def _pick_block(n: int) -> int | None:
-    """Largest divisor of n that is ≤ _MAX_BLOCK and a multiple of 16.
+def _pick_block(n: int, max_block: int | None = None) -> int | None:
+    """Largest divisor of n that is ≤ max_block and a multiple of 16.
 
     Multiples of 16 keep the second-to-minor dim tileable for bf16 operands;
     requiring an exact divisor avoids masked tails (the token counts this
     model family produces — 784, 3136, 12544 = (h·w) of pow2×28 grids — all
     have rich ×16 divisors)."""
-    for d in range(min(n, _MAX_BLOCK), 15, -1):
+    for d in range(min(n, max_block or _MAX_BLOCK), 15, -1):
         if d % 16 == 0 and n % d == 0:
             return d
     return None
+
+
+def _pick_streamed_block(n: int, c: int) -> int:
+    """Block size for the STREAMED operand dim (the `arbitrary` grid axis).
+
+    Bigger streamed blocks amortize Mosaic's per-grid-step overhead and feed
+    the MXU longer contractions (measured on v5e: fwd 3136×512 went 7.3 →
+    5.9 ms going 448 → 784-row k blocks). Capped so the (resident block ×
+    streamed block) fp32 logits tile plus double-buffered operands stay
+    within VMEM: ≤1024 rows at c ≤ 512, ≤512 above."""
+    cap = _MAX_STREAM_BLOCK if c <= 512 else _MAX_BLOCK
+    return _pick_block(n, cap)
 
 
 def _on_tpu() -> bool:
@@ -151,7 +164,7 @@ def _flash_fwd_kernel(q: jax.Array, k: jax.Array, v: jax.Array):
 
     b, n, c = q.shape
     bq = _pick_block(n)
-    bk = bq
+    bk = _pick_streamed_block(n, c)
     nq, nk = n // bq, n // bk
     scale = float(c) ** -0.5
     in_dtype = q.dtype
@@ -218,8 +231,8 @@ def _flash_dkv_kernel(q, k, v, g, lse, delta):
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = q.shape
-    bq = _pick_block(n)
-    bk = bq
+    bq = _pick_streamed_block(n, c)
+    bk = _pick_block(n)
     nq, nk = n // bq, n // bk
     scale = float(c) ** -0.5
     in_dtype = q.dtype
@@ -282,7 +295,7 @@ def _flash_dq_kernel(q, k, v, g, lse, delta):
 
     b, n, c = q.shape
     bq = _pick_block(n)
-    bk = bq
+    bk = _pick_streamed_block(n, c)
     nq, nk = n // bq, n // bk
     scale = float(c) ** -0.5
     in_dtype = q.dtype

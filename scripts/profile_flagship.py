@@ -196,7 +196,11 @@ def _build_step(towers: bool):
         hidden_channels=128,
         ch_mult=(1, 2, 4, 8),
         num_res_blocks=2,
-        attn_resolutions=(28, 56),
+        attn_resolutions=tuple(
+            int(r)
+            for r in os.environ.get("STEP_ATTN", "28,56").split(",")
+            if r.strip()
+        ),
         resolution=224,
         dropout=0.0,
         dtype=jnp.bfloat16,
