@@ -157,8 +157,16 @@ def _build(mesh):
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, size, size, 3), jnp.bfloat16)
     flagship = os.environ.get("BENCH_MODEL", "cvae") == "flagship"
+    full224 = os.environ.get("BENCH_CONFIG", "quick") == "full224"
+    frozen = {}
     if flagship:
         latent = model_kwargs.pop("latent_dim")
+        if full224:
+            # the PRODUCTION flagship surface (configs/experiment/
+            # disentangled_multi_modal_cvae_full.yaml): attention at 28² and
+            # 56² (not the CVAE bench's attn@16) — matches
+            # ops/PERF_FLAGSHIP.md's step decomposition.
+            model_kwargs["attn_resolutions"] = (28, 56)
         model = DisentangledConditionalVAE(
             num_modalities=5,
             shared_latent_dim=latent // 2,
@@ -174,6 +182,21 @@ def _build(mesh):
             "kl_weight": 1.0, "recon_weight": 1.0,
             "separation_weight": 0.1, "contrastive_weight": 0.2,
         }
+        # BENCH_TOWERS=1 (default for full224) adds the frozen LPIPS +
+        # CLIP-ViT feature terms — the full production loss surface.
+        if os.environ.get("BENCH_TOWERS", "1" if full224 else "0") == "1":
+            from medvae_tpu.losses.perceptual import BiomedCLIPLoss, LPIPSLoss
+
+            loss_cfg.update(
+                perceptual_weight=0.1, biomedclip_weight=0.1,
+                clip_encoder="vit", tower_dtype="float32",
+            )
+            frozen["lpips"] = LPIPSLoss(dtype=jnp.float32).init(
+                jax.random.fold_in(rng, 11), size
+            )
+            frozen["clip"] = BiomedCLIPLoss(encoder="vit", dtype=jnp.float32).init(
+                jax.random.fold_in(rng, 13)
+            )
     else:
         model = ConditionalVAE(
             input_channels=3,
@@ -187,12 +210,23 @@ def _build(mesh):
         loss_cfg = {"type": "vae", "recon_loss_type": "mse",
                     "kl_weight": 1.0, "recon_weight": 1.0}
     variables = jax.jit(model.init)({"params": rng, "sample": rng}, x0, cond0)
-    tx = build_optimizer(
-        {"type": "adam", "lr": 1e-3}, {"type": "constant"}, gradient_clip_val=1.0
+    if flagship and full224:
+        # production optimizer (experiment yaml: adamw lr 1e-4)
+        tx = build_optimizer(
+            {"type": "adamw", "lr": 1e-4}, {"type": "constant"},
+            gradient_clip_val=1.0,
+        )
+    else:
+        tx = build_optimizer(
+            {"type": "adam", "lr": 1e-3}, {"type": "constant"},
+            gradient_clip_val=1.0,
+        )
+    state = replicate(
+        mesh, create_train_state(variables["params"], tx, frozen=frozen)
     )
-    state = replicate(mesh, create_train_state(variables["params"], tx))
     step = build_train_step(
-        model, loss_cfg, tx, mesh, augment=False, normalize=True, max_channels=3
+        model, loss_cfg, tx, mesh,
+        augment=flagship and full224, normalize=True, max_channels=3,
     )
     return model, step, state, size
 

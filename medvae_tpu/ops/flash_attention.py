@@ -57,7 +57,7 @@ def _pick_block(n: int, max_block: int | None = None) -> int | None:
     return None
 
 
-def _pick_streamed_block(n: int, c: int) -> int:
+def _pick_streamed_block(n: int, c: int) -> int | None:
     """Block size for the STREAMED operand dim (the `arbitrary` grid axis).
 
     Bigger streamed blocks amortize Mosaic's per-grid-step overhead and feed
@@ -67,6 +67,45 @@ def _pick_streamed_block(n: int, c: int) -> int:
     within VMEM: ≤1024 rows at c ≤ 512, ≤512 above."""
     cap = _MAX_STREAM_BLOCK if c <= 512 else _MAX_BLOCK
     return _pick_block(n, cap)
+
+
+def _require_blocks(n: int, c: int, where: str) -> tuple[int, int]:
+    """(resident, streamed) block sizes, or a clear error.
+
+    Direct flash_attention callers can bypass the _or_none envelope (tests,
+    profilers); without this check an n with no ×16 divisor surfaces as an
+    opaque TypeError inside pallas_call setup."""
+    blk = _pick_block(n)
+    sblk = _pick_streamed_block(n, c)
+    if blk is None or sblk is None:
+        raise ValueError(
+            f"flash attention {where}: n={n} has no x16 block divisor "
+            f"(c={c}); use flash_attention_or_none for dispatch or pad n"
+        )
+    return blk, sblk
+
+
+def _flash_vmem_estimate(n: int, c: int, itemsize: int) -> int:
+    """Worst-kernel (dkv) VMEM working set in bytes for the blocks that
+    would be picked: streamed operands double-buffered (q/g/lse/delta),
+    resident k/v + dk/dv outputs + fp32 accumulator scratch single-buffered,
+    plus two (bq, bk) fp32 logits-tile temporaries."""
+    bq = _pick_block(n)
+    bk = _pick_streamed_block(n, c)
+    if bq is None or bk is None:
+        return 1 << 62
+    streamed = 2 * (2 * bq * c * itemsize + 2 * bq * _LANES * 4)
+    resident = 2 * bk * c * itemsize  # k, v
+    outs = 2 * bk * c * itemsize  # dk, dv
+    scratch = 2 * bk * c * 4
+    tiles = 2 * bq * bk * 4
+    return streamed + resident + outs + scratch + tiles
+
+
+# Measured envelope headroom: the production 3136×512 bf16 shape estimates
+# ~12 MB and compiles; wider channels (c ≥ 2048) blow the ~16 MB scoped VMEM
+# and would fail at compile time instead of falling back — guard here.
+_FLASH_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -86,7 +125,10 @@ def flash_attention_or_none(q: jax.Array, k: jax.Array, v: jax.Array):
     eliminating the 1.26 GB (b, n, n) residual; 784×1024 (112-row blocks,
     lane-padded 112→128 tiles) is SLOWER than the einsum path (7.4 vs
     5.5 ms f+b) and its residual is only 78 MB — so small-block shapes
-    stay on einsum."""
+    stay on einsum. A VMEM working-set estimate bounds the channel width:
+    wide-c shapes (≥ ~2048 at these blocks) would fail Mosaic compilation
+    rather than run, so they fall back to einsum like the fused kernel's
+    _vmem_estimate guard does."""
     _, n, c = q.shape
     if not _on_tpu():
         return None
@@ -95,17 +137,22 @@ def flash_attention_or_none(q: jax.Array, k: jax.Array, v: jax.Array):
     blk = _pick_block(n)
     if blk is None or blk < _MIN_BLOCK:
         return None
+    if _flash_vmem_estimate(n, c, q.dtype.itemsize) > _FLASH_VMEM_BUDGET:
+        return None
     return flash_attention(q, k, v)
 
 
 @jax.custom_vjp
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    out, _ = _flash_fwd_kernel(q, k, v)
-    return out
+    # Primal path (inference/eval — no grad trace): skip the lse output
+    # entirely. The lane-replicated (b, n, _LANES) fp32 logsumexp is ~51 MB
+    # of HBM writes at the 3136×512 bs32 shape and is only a backward-pass
+    # carrier; the VJP fwd rule below stores it instead.
+    return _flash_fwd_kernel(q, k, v, want_lse=False)
 
 
 def _flash_fwd(q, k, v):
-    out, lse = _flash_fwd_kernel(q, k, v)
+    out, lse = _flash_fwd_kernel(q, k, v, want_lse=True)
     return out, (q, k, v, out, lse)
 
 
@@ -158,18 +205,21 @@ def _vmem_spec():
     return spec
 
 
-def _flash_fwd_kernel(q: jax.Array, k: jax.Array, v: jax.Array):
+def _flash_fwd_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
+                      want_lse: bool = True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = q.shape
-    bq = _pick_block(n)
-    bk = _pick_streamed_block(n, c)
+    bq, bk = _require_blocks(n, c, "forward")
     nq, nk = n // bq, n // bk
     scale = float(c) ** -0.5
     in_dtype = q.dtype
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s):
+    def kernel(q_ref, k_ref, v_ref, o_ref, *rest):
+        lse_ref, (acc, m_s, l_s) = (
+            (rest[0], rest[1:]) if want_lse else (None, rest)
+        )
         ik = pl.program_id(2)
 
         @pl.when(ik == 0)
@@ -195,10 +245,16 @@ def _flash_fwd_kernel(q: jax.Array, k: jax.Array, v: jax.Array):
         @pl.when(ik == nk - 1)
         def _():
             o_ref[0] = (acc[:] / l_s[:, :1]).astype(o_ref.dtype)
-            lse_ref[0] = m_s[:] + jnp.log(l_s[:])
+            if want_lse:
+                lse_ref[0] = m_s[:] + jnp.log(l_s[:])
 
     spec = _vmem_spec()
-    out, lse = pl.pallas_call(
+    out_specs = [spec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, n, c), q.dtype)]
+    if want_lse:
+        out_specs.append(spec((1, bq, _LANES), lambda ib, iq, ik: (ib, iq, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, n, _LANES), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(b, nq, nk),
         in_specs=[
@@ -206,14 +262,8 @@ def _flash_fwd_kernel(q: jax.Array, k: jax.Array, v: jax.Array):
             spec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),  # k
             spec((1, bk, c), lambda ib, iq, ik: (ib, ik, 0)),  # v
         ],
-        out_specs=[
-            spec((1, bq, c), lambda ib, iq, ik: (ib, iq, 0)),
-            spec((1, bq, _LANES), lambda ib, iq, ik: (ib, iq, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, c), q.dtype),
-            jax.ShapeDtypeStruct((b, n, _LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, c), jnp.float32),
             pltpu.VMEM((bq, _LANES), jnp.float32),
@@ -223,7 +273,7 @@ def _flash_fwd_kernel(q: jax.Array, k: jax.Array, v: jax.Array):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(q, k, v)
-    return out, lse
+    return (outs[0], outs[1]) if want_lse else outs[0]
 
 
 def _flash_dkv_kernel(q, k, v, g, lse, delta):
@@ -231,8 +281,7 @@ def _flash_dkv_kernel(q, k, v, g, lse, delta):
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = q.shape
-    bq = _pick_streamed_block(n, c)
-    bk = _pick_block(n)
+    bk, bq = _require_blocks(n, c, "backward dkv")
     nq, nk = n // bq, n // bk
     scale = float(c) ** -0.5
     in_dtype = q.dtype
@@ -294,8 +343,7 @@ def _flash_dq_kernel(q, k, v, g, lse, delta):
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = q.shape
-    bq = _pick_block(n)
-    bk = _pick_streamed_block(n, c)
+    bq, bk = _require_blocks(n, c, "backward dq")
     nq, nk = n // bq, n // bk
     scale = float(c) ** -0.5
     in_dtype = q.dtype

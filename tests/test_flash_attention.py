@@ -114,3 +114,39 @@ def test_flash_bf16_inputs(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+def test_flash_vmem_guard_rejects_wide_channels():
+    """ADVICE r4: wide-c shapes would blow the scoped VMEM at compile time;
+    the envelope must return None (einsum fallback) instead. ShapeDtypeStructs
+    suffice — the guard must trip before any kernel is built."""
+    wide = jax.ShapeDtypeStruct((32, 4096, 2048), jnp.bfloat16)
+    assert fa_mod.flash_attention_or_none(wide, wide, wide) is None
+    # the production shape stays inside the envelope
+    ok = jnp.zeros((1, 3136, 512), jnp.bfloat16)
+    assert (
+        fa_mod._flash_vmem_estimate(3136, 512, ok.dtype.itemsize)
+        <= fa_mod._FLASH_VMEM_BUDGET
+    )
+
+
+def test_flash_direct_call_bad_n_raises_value_error():
+    """ADVICE r4: direct callers bypassing the _or_none envelope must get a
+    clear shape error, not an opaque TypeError from pallas_call setup."""
+    bad = jnp.zeros((1, 13, 128), jnp.float32)
+    with pytest.raises(ValueError, match="n=13"):
+        fa_mod.flash_attention(bad, bad, bad)
+    with pytest.raises(ValueError, match="n=13"):
+        jax.grad(lambda q: jnp.sum(fa_mod.flash_attention(q, bad, bad)))(bad)
+
+
+def test_flash_forward_only_skips_lse(monkeypatch):
+    """ADVICE r4: the primal (no-grad) path runs the lse-free kernel and
+    still matches the reference."""
+    monkeypatch.setattr(fa_mod, "_MAX_BLOCK", 32)
+    rs = np.random.RandomState(7)
+    q, k, v = _qkv(rs, 2, 96, 128)
+    out = fa_mod._flash_fwd_kernel(q, k, v, want_lse=False)
+    assert not isinstance(out, tuple)
+    ref = attn_mod.reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
