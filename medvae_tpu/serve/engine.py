@@ -365,6 +365,9 @@ class InferenceEngine:
         return {
             "model": type(m).__name__,
             "resolution": int(m.resolution),
+            "input_channels": int(
+                getattr(m, "max_channels", 0) or m.input_channels
+            ),
             # total_latent_dim first: the disentangled model inherits (and
             # ignores) BaseVAE.latent_dim, its real latent is shared+modality
             "latent_dim": int(getattr(m, "total_latent_dim", 0))

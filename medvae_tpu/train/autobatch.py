@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from typing import Callable, Iterable, Optional
 
-import numpy as np
-
 
 def is_oom_error(e: BaseException) -> bool:
     """True when an exception is a device out-of-memory failure."""
@@ -158,8 +156,8 @@ def resolve_auto_batch_size(
     import jax
     import optax
 
-    from medvae_tpu.core.mesh import DATA_AXIS, DCN_AXIS, replicate, shard_batch
-    from medvae_tpu.data.medmnist import MODALITY_NAMES
+    from medvae_tpu.core.mesh import DATA_AXIS, DCN_AXIS, replicate
+    from medvae_tpu.train.autoremat import probe_batch
     from medvae_tpu.train.state import create_train_state
     from medvae_tpu.train.step import build_train_step
 
@@ -182,8 +180,6 @@ def resolve_auto_batch_size(
         disc=disc, disc_tx=disc_tx,
         donate=False,
     )
-    size = datamodule.size
-    c = datamodule.max_channels
     rng = jax.random.fold_in(seed_key, 99)
 
     ballast = None
@@ -199,17 +195,10 @@ def resolve_auto_batch_size(
         log(f"autobatch: holding {nb / 1e6:.0f} MB cache ballast during probe")
 
     def try_fn(b: int) -> None:
-        midx = (np.arange(b) % len(MODALITY_NAMES)).astype(np.int32)
-        batch = {
-            "image_u8": np.zeros((b, size, size, c), np.uint8),
-            "label": np.zeros((b,), np.int32),
-            "modality_onehot": np.eye(len(MODALITY_NAMES), dtype=np.float32)[
-                midx
-            ],
-            "modality_idx": midx,
-            "channels": np.full((b,), c, np.int32),
-            "valid": np.ones((b,), np.float32),
-        }
+        # b is the GLOBAL candidate; probe_batch assembles it from per-host
+        # local rows (multi-host: a global-sized host batch would compile a
+        # process_count-times oversized step and under-select the size)
+        batch = probe_batch(datamodule, mesh, global_rows=b)
         # fresh state per candidate: the step donates its input state
         state = replicate(
             mesh,
@@ -218,7 +207,7 @@ def resolve_auto_batch_size(
                 disc_tx=disc_tx,
             ),
         )
-        new_state, metrics = step(state, shard_batch(mesh, batch), rng)
+        new_state, metrics = step(state, batch, rng)
         # force execution; the GAN step logs train/total_loss, not train/loss
         key = "train/loss" if "train/loss" in metrics else "train/total_loss"
         float(jax.device_get(metrics[key]))

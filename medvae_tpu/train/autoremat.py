@@ -160,6 +160,25 @@ def synthetic_host_batch(datamodule, b: int) -> Dict[str, np.ndarray]:
     }
 
 
+def probe_batch(datamodule, mesh, global_rows: Optional[int] = None):
+    """A GLOBAL device probe batch at the datamodule's shapes.
+
+    shard_batch's multi-process path treats its input as the LOCAL rows of
+    the global batch (mirroring pipeline.py's per-host slicing), so the host
+    batch must be sized per-host — or multi-host runs would compile a
+    process_count-times oversized step and reject candidates that actually
+    fit. Shared by the remat and batch-size probes; the 2-process regression
+    lives in scripts/dcn_dryrun.py (tests/test_dcn.py drives it).
+    """
+    import jax
+
+    from medvae_tpu.core.mesh import shard_batch
+
+    b = int(global_rows if global_rows is not None else datamodule.batch_size)
+    local_rows = max(b // jax.process_count(), 1)
+    return shard_batch(mesh, synthetic_host_batch(datamodule, local_rows))
+
+
 def resolve_auto_remat(
     make_model: Callable[[Any], Any],
     step_kwargs: Dict[str, Any],
@@ -183,7 +202,6 @@ def resolve_auto_remat(
     """
     import jax
 
-    from medvae_tpu.core.mesh import shard_batch
     from medvae_tpu.train.step import build_train_step
 
     device = jax.devices()[0]
@@ -198,12 +216,7 @@ def resolve_auto_remat(
         return rungs[-1], make_model(rungs[-1])
 
     budget = device_hbm_budget(device)
-    # shard_batch's multi-process path treats its input as the LOCAL rows of
-    # the global batch (mirroring pipeline.py's per-host slicing), so the
-    # probe batch must be sized per-host or multi-host runs would compile a
-    # process_count-times oversized step and reject rungs that actually fit.
-    local_rows = max(int(datamodule.batch_size) // jax.process_count(), 1)
-    batch = shard_batch(mesh, synthetic_host_batch(datamodule, local_rows))
+    batch = probe_batch(datamodule, mesh)
     rng = jax.random.fold_in(seed_key, 98)
     models: Dict[Any, Any] = {}
 

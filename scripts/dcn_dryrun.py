@@ -39,6 +39,23 @@ def worker(process_id: int) -> int:
     )
     assert jax.process_count() == 2 and len(jax.devices()) == 8
 
+    # Establish the cross-host Gloo context BEFORE any heavy compile, in two
+    # stages. Gloo's KV rendezvous has a hard ~30 s deadline, and on a loaded
+    # host the two processes can reach the first collective minutes apart
+    # (cold vs warm persistent compile cache) — failing with "Gloo context
+    # initialization failed: DEADLINE_EXCEEDED". Stage 1: a coordination-
+    # service barrier with a generous timeout absorbs that skew at the Python
+    # level. Stage 2: a trivial all-device sync then creates the Gloo context
+    # with both processes aligned to within milliseconds; the context is
+    # cached, so every later collective tolerates arbitrary skew.
+    from jax._src import distributed
+    from jax.experimental import multihost_utils
+
+    distributed.global_state.client.wait_at_barrier(
+        "dcn_dryrun_align", timeout_in_ms=540_000
+    )
+    multihost_utils.sync_global_devices("dcn_dryrun_warmup")
+
     import numpy as np
     import jax.numpy as jnp
 
@@ -79,12 +96,53 @@ def worker(process_id: int) -> int:
         channels=3,
     )
     feeder = DeviceFeeder(arrays, bs, mesh, shuffle=True, prefetch=1)
+
+    # AOT-compile the step, then re-align at the coordination barrier before
+    # the first execution: every compiled executable's FIRST collective
+    # creates its own Gloo context, whose KV rendezvous has the same hard
+    # ~30 s deadline as the warmup's — and compile-time skew (persistent-
+    # cache hit on one worker, miss on the other) can exceed it. Aligning
+    # AFTER compilation keeps both processes inside the deadline regardless
+    # of cache state; later executions of the same executable reuse the
+    # context (and the collectives themselves keep the workers in lockstep).
+    import itertools
+
+    step_rng = jax.random.PRNGKey(1)
+    it = feeder.epoch(0)
+    first_batch = next(it)
+    compiled_step = step.lower(state, first_batch, step_rng).compile()
+    distributed.global_state.client.wait_at_barrier(
+        "dcn_dryrun_compiled", timeout_in_ms=540_000
+    )
+
     losses = []
-    for batch in feeder.epoch(0):
+    for batch in itertools.chain([first_batch], it):
         # per-host shard sanity: image rows on this host = bs / 2
-        state, m = step(state, batch, jax.random.PRNGKey(1))
+        state, m = compiled_step(state, batch, step_rng)
         losses.append(float(jax.device_get(m["train/loss"])))
     assert len(losses) == n // bs and all(np.isfinite(l) for l in losses)
+
+    # Probe-batch sizing regression (ADVICE r4 / VERDICT r4 next #6): the
+    # autoremat/autobatch probes must assemble GLOBAL batches from per-host
+    # local rows — a global-sized host batch here would build a 2x-oversized
+    # step and mis-size remat/batch decisions on multi-host runs.
+    from medvae_tpu.train.autoremat import probe_batch
+
+    class _DM:
+        batch_size, size, max_channels = bs, 16, 3
+
+    pb = probe_batch(_DM, mesh)
+    assert pb["image_u8"].shape == (bs, 16, 16, 3), pb["image_u8"].shape
+    pb2 = probe_batch(_DM, mesh, global_rows=2 * bs)
+    assert pb2["image_u8"].shape[0] == 2 * bs, pb2["image_u8"].shape
+    # the probe batch must be steppable (drives make_array_from_process_local
+    # + the step at the probed size; reuse the aligned compiled executable —
+    # pb's shapes match the training batches by construction)
+    _, pm = compiled_step(state, pb, jax.random.PRNGKey(2))
+    assert np.isfinite(float(jax.device_get(pm["train/loss"])))
+    print(f"proc {process_id}: probe sizing ok rows={pb['image_u8'].shape[0]}",
+          flush=True)
+
     print(
         f"proc {process_id}: dcn dryrun ok loss={losses[-1]:.6f} "
         f"steps={len(losses)}",
@@ -111,9 +169,13 @@ def main() -> int:
     ok = True
     for i, proc in enumerate(procs):
         out, _ = proc.communicate(timeout=600)
-        tail = [l for l in out.splitlines() if "dryrun" in l or "Error" in l]
+        tail = [
+            l for l in out.splitlines()
+            if "dryrun" in l or "probe sizing" in l or "Error" in l
+        ]
         print(f"[worker {i}] rc={proc.returncode} " + " | ".join(tail[-3:]))
         ok &= proc.returncode == 0 and any("dcn dryrun ok" in l for l in tail)
+        ok &= any("probe sizing ok" in l for l in tail)
     print("DCN dryrun:", "OK" if ok else "FAILED")
     return 0 if ok else 1
 

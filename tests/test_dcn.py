@@ -57,6 +57,9 @@ def test_dcn_dryrun_two_processes():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "DCN dryrun: OK" in out.stdout
+    # autoremat/autobatch probe sizing stays per-host (train/autoremat.py:
+    # probe_batch) — both workers must have asserted and reported it
+    assert out.stdout.count("probe sizing ok") == 2, out.stdout
     # both workers report the same loss (replicated state stayed in sync)
     losses = {
         line.split("loss=")[1].split()[0]
