@@ -160,6 +160,32 @@ def synthetic_host_batch(datamodule, b: int) -> Dict[str, np.ndarray]:
     }
 
 
+def recorded_remat_rung(ckpt_dir: str):
+    """The remat rung a previous launch of this run resolved, or None.
+
+    The Trainer persists the `remat: auto` decision in trainer_state.json
+    (key "remat_rung": false | "block" | "full") so a RESUMED run reuses it
+    instead of re-probing. Re-probing on resume is both slow (several AOT
+    compiles per restart) and wrong: the device already holds the restored
+    checkpoint, inflating the probe's apparent peak, so the same config can
+    resolve a different (more conservative) rung than the fresh launch —
+    i.e. the rung would be load-order dependent.
+    """
+    import json
+    import os
+
+    path = os.path.join(ckpt_dir, "trainer_state.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        return None
+    rung = blob.get("remat_rung", None)
+    return rung if rung in (False, "block", "full") else None
+
+
 def probe_batch(datamodule, mesh, global_rows: Optional[int] = None):
     """A GLOBAL device probe batch at the datamodule's shapes.
 

@@ -136,6 +136,13 @@ class Trainer:
             "remat", "auto" if int(_mcfg.get("resolution", 28)) >= 112 else False
         )
         self._auto_remat = str(_remat_req).lower() == "auto"
+        self._resolved_remat = None  # rung chosen by remat=auto (persisted)
+        # checkpoint dir, needed before the remat probe (recorded-rung reuse
+        # on resume); the CheckpointManager below uses the same expression
+        ckpt_dir_early = os.path.join(
+            cfg.get("checkpoint_dir", "logs/checkpoints"),
+            cfg.get("experiment_name", "run"),
+        )
         self.model = build_model(
             cfg["model"],
             precision=cfg.get("precision", "bf16"),
@@ -390,24 +397,55 @@ class Trainer:
                 # so the real first step below reuses it. Skipped under
                 # batch_size=auto: the batch probe already maxed out memory
                 # against the safe "full" rung.
-                from medvae_tpu.train.autoremat import resolve_auto_remat
+                #
+                # On RESUME, reuse the run's recorded rung instead of
+                # re-probing: probing against a device already holding the
+                # restored checkpoint inflates the apparent peak (a fresh
+                # launch of the 224² flagship probes block as fitting; its
+                # own resume probed block as over-budget and fell back to
+                # full) — re-probing makes the rung load-order dependent AND
+                # costs several AOT compiles per restart.
+                from medvae_tpu.train.autoremat import (
+                    recorded_remat_rung,
+                    resolve_auto_remat,
+                )
 
-                chosen, model = resolve_auto_remat(
-                    make_model=lambda r: build_model(
+                chosen = (
+                    recorded_remat_rung(ckpt_dir_early)
+                    if cfg.get("resume") or cfg.get("resume_from")
+                    else None
+                )
+                if chosen is not None:
+                    print(
+                        f"remat=auto: resuming with recorded rung "
+                        f"{chosen!r} (trainer_state.json)"
+                    )
+                    model = build_model(
                         cfg["model"],
                         precision=cfg.get("precision", "bf16"),
                         use_pallas=bool(cfg.get("use_pallas", True)),
-                        remat=r,
-                    ),
-                    step_kwargs={
-                        k: v for k, v in self._step_kwargs.items() if k != "model"
-                    },
-                    state=self.state,
-                    datamodule=self.datamodule,
-                    mesh=self.mesh,
-                    seed_key=self.seed_key,
-                    reserve_bytes=self._projected_cache_bytes(),
-                )
+                        remat=chosen,
+                    )
+                else:
+                    chosen, model = resolve_auto_remat(
+                        make_model=lambda r: build_model(
+                            cfg["model"],
+                            precision=cfg.get("precision", "bf16"),
+                            use_pallas=bool(cfg.get("use_pallas", True)),
+                            remat=r,
+                        ),
+                        step_kwargs={
+                            k: v
+                            for k, v in self._step_kwargs.items()
+                            if k != "model"
+                        },
+                        state=self.state,
+                        datamodule=self.datamodule,
+                        mesh=self.mesh,
+                        seed_key=self.seed_key,
+                        reserve_bytes=self._projected_cache_bytes(),
+                    )
+                self._resolved_remat = chosen
                 if chosen != "full":  # pre-probe build is the "full" rung
                     self.model = model
                     self._step_kwargs["model"] = model
@@ -549,6 +587,10 @@ class Trainer:
                 "best": self.early_stopping.best,
                 "counter": self.early_stopping.counter,
             }
+        if self._resolved_remat is not None:
+            # False | "block" | "full" — reused verbatim on resume instead of
+            # re-probing (train/autoremat.py:recorded_remat_rung)
+            blob["remat_rung"] = self._resolved_remat
         if blob:
             path = os.path.join(self.ckpt.directory, "trainer_state.json")
             with open(path, "w") as f:

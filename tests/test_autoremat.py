@@ -280,3 +280,28 @@ def test_build_model_remat_override_beats_config():
     assert m.remat is False
     m2 = build_model(dict(MODEL_CFG, remat="block"), remat="full")
     assert m2.remat == "full"
+
+
+def test_recorded_remat_rung_roundtrip(tmp_path):
+    """Resume reuses the persisted rung instead of re-probing (the probe is
+    load-order dependent once a restored checkpoint occupies the device)."""
+    import json
+
+    from medvae_tpu.train.autoremat import recorded_remat_rung
+
+    d = str(tmp_path)
+    assert recorded_remat_rung(d) is None  # no trainer_state.json yet
+
+    path = tmp_path / "trainer_state.json"
+    for rung in (False, "block", "full"):
+        path.write_text(json.dumps({"remat_rung": rung, "early_stopping": {}}))
+        assert recorded_remat_rung(d) == rung
+
+    path.write_text(json.dumps({"early_stopping": {"best": 1.0}}))
+    assert recorded_remat_rung(d) is None  # older runs: key absent
+
+    path.write_text(json.dumps({"remat_rung": "bogus"}))
+    assert recorded_remat_rung(d) is None  # unknown value ignored
+
+    path.write_text("{not json")
+    assert recorded_remat_rung(d) is None  # corrupt file ignored
