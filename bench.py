@@ -21,7 +21,11 @@ Configs (BENCH_CONFIG): quick (default; 28x28, the north-star config) or
 full224 (224x224 CVAE, ch_mult 1-2-4-8 + attention @16 — the config that
 actually stresses the MXU/HBM; reference configs/model/base_vae.yaml).
 BENCH_MODEL=flagship swaps the ConditionalVAE for the flagship
-DisentangledConditionalVAE step (routing + separation/contrastive losses).
+DisentangledConditionalVAE step (routing + separation/contrastive losses);
+combined with BENCH_CONFIG=full224 it benches the PRODUCTION surface of
+configs/experiment/disentangled_multi_modal_cvae_full.yaml — attention at
+{28², 56²} plus frozen LPIPS + CLIP-ViT fp32 towers (BENCH_TOWERS=0 drops
+the towers), adamw, augment — the committed BENCH_FLAGSHIP_r05.json row.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
