@@ -88,16 +88,31 @@ def choose_remat(
     reserve_bytes: int = 0,
     rungs: Sequence[Any] = DEFAULT_RUNGS,
     log: Callable[[str], None] = print,
-) -> Any:
+    droppable_reserve: bool = False,
+) -> tuple:
     """Pick the first rung whose probed peak fits; pure logic, test-injectable.
 
-    `probe(rung)` returns the compiled peak in bytes, None when the compile
-    succeeded but the peak is unreadable, and raises on compile failure
-    (treated as "does not fit" — XLA TPU memory assignment happens at
-    compile time). The last rung is the fallback and is never probed: it is
-    what the non-auto default would have used anyway.
+    Returns ``(rung, drop_reserve)``. `probe(rung)` returns the compiled
+    peak in bytes, None when the compile succeeded but the peak is
+    unreadable, and raises on compile failure (treated as "does not fit" —
+    XLA TPU memory assignment happens at compile time). The last rung is the
+    fallback and is never probed: it is what the non-auto default would have
+    used anyway.
+
+    `droppable_reserve=True` marks `reserve_bytes` as tradeable: it is the
+    HBM the device-resident dataset caches would pin, and the trainer can
+    stream batches from the host instead. Descending a remat rung costs
+    recompute on every step (measured 35.6 -> 12 img/s on the 224² flagship,
+    BENCH_FLAGSHIP_r05.json vs logs/disentangled_multi_modal_cvae_full/),
+    while streaming costs one small host transfer per step (bs 32 at 224² is
+    ~5 MB against a ~1 s step) — so when a rung fits only without the cache,
+    keeping the rung and dropping the cache wins. ``drop_reserve=True`` in
+    the result tells the caller to stream. Configs whose step fits alongside
+    the cache (e.g. every 28² config, where the cache is worth 2.5× feed
+    throughput) are unaffected: the with-cache check is tried first.
     """
     need_extra = int(reserve_bytes) + RUNTIME_GUARD_BYTES
+    can_drop = droppable_reserve and int(reserve_bytes) > 0
     for rung in rungs[:-1]:
         try:
             peak = probe(rung)
@@ -113,7 +128,14 @@ def choose_remat(
             # when nothing else will claim HBM, since headroom is unknown.
             if int(reserve_bytes) == 0:
                 log(f"autoremat: remat={rung!r} compiles (peak unreadable); selected")
-                return rung
+                return rung, False
+            if can_drop:
+                log(
+                    f"autoremat: remat={rung!r} compiles (peak unreadable); "
+                    f"dropping the {reserve_bytes / 2**30:.2f} GiB device "
+                    f"cache and streaming from host to keep this rung"
+                )
+                return rung, True
             log(
                 f"autoremat: remat={rung!r} compiles but peak is unreadable "
                 f"and {reserve_bytes / 2**30:.2f} GiB of caches are planned; "
@@ -121,6 +143,14 @@ def choose_remat(
             )
             continue
         if budget is not None and peak + need_extra > budget:
+            if can_drop and peak + RUNTIME_GUARD_BYTES <= budget:
+                log(
+                    f"autoremat: remat={rung!r} peak {peak / 2**30:.2f} GiB "
+                    f"fits {budget / 2**30:.2f} GiB only without the "
+                    f"{reserve_bytes / 2**30:.2f} GiB device cache; keeping "
+                    f"the faster rung and streaming batches from host"
+                )
+                return rung, True
             log(
                 f"autoremat: remat={rung!r} peak {peak / 2**30:.2f} GiB "
                 f"+ {need_extra / 2**30:.2f} GiB reserve exceeds "
@@ -128,6 +158,13 @@ def choose_remat(
             )
             continue
         if budget is None and int(reserve_bytes) > 0:
+            if can_drop:
+                log(
+                    f"autoremat: remat={rung!r} fits alone (budget unknown); "
+                    f"dropping the planned device cache and streaming from "
+                    f"host to keep this rung"
+                )
+                return rung, True
             log(
                 f"autoremat: remat={rung!r} fits alone but the device budget "
                 f"is unknown and caches are planned; skipping"
@@ -139,9 +176,9 @@ def choose_remat(
             + (f" of {budget / 2**30:.2f} GiB" if budget is not None else "")
             + ")"
         )
-        return rung
+        return rung, False
     log(f"autoremat: falling back to remat={rungs[-1]!r}")
-    return rungs[-1]
+    return rungs[-1], False
 
 
 def synthetic_host_batch(datamodule, b: int) -> Dict[str, np.ndarray]:
@@ -160,30 +197,40 @@ def synthetic_host_batch(datamodule, b: int) -> Dict[str, np.ndarray]:
     }
 
 
-def recorded_remat_rung(ckpt_dir: str):
-    """The remat rung a previous launch of this run resolved, or None.
+def recorded_remat_decision(ckpt_dir: str) -> tuple:
+    """(remat rung, drop_device_cache) a previous launch resolved, or (None, False).
 
     The Trainer persists the `remat: auto` decision in trainer_state.json
-    (key "remat_rung": false | "block" | "full") so a RESUMED run reuses it
-    instead of re-probing. Re-probing on resume is both slow (several AOT
-    compiles per restart) and wrong: the device already holds the restored
-    checkpoint, inflating the probe's apparent peak, so the same config can
-    resolve a different (more conservative) rung than the fresh launch —
-    i.e. the rung would be load-order dependent.
+    (keys "remat_rung": false | "block" | "full" and
+    "device_cache_dropped": bool) so a RESUMED run reuses it instead of
+    re-probing. Re-probing on resume is both slow (several AOT compiles per
+    restart) and wrong: the device already holds the restored checkpoint,
+    inflating the probe's apparent peak, so the same config can resolve a
+    different (more conservative) rung than the fresh launch — i.e. the rung
+    would be load-order dependent. The cache decision must travel with the
+    rung: a rung chosen on the premise that batches stream from host would
+    OOM if the resumed run re-pinned the dataset cache next to it.
     """
     import json
     import os
 
     path = os.path.join(ckpt_dir, "trainer_state.json")
     if not os.path.exists(path):
-        return None
+        return None, False
     try:
         with open(path) as f:
             blob = json.load(f)
     except (OSError, ValueError):
-        return None
+        return None, False
     rung = blob.get("remat_rung", None)
-    return rung if rung in (False, "block", "full") else None
+    if rung not in (False, "block", "full"):
+        return None, False
+    return rung, bool(blob.get("device_cache_dropped", False))
+
+
+def recorded_remat_rung(ckpt_dir: str):
+    """The remat rung a previous launch of this run resolved, or None."""
+    return recorded_remat_decision(ckpt_dir)[0]
 
 
 def probe_batch(datamodule, mesh, global_rows: Optional[int] = None):
@@ -215,8 +262,13 @@ def resolve_auto_remat(
     reserve_bytes: int = 0,
     rungs: Sequence[Any] = DEFAULT_RUNGS,
     log: Callable[[str], None] = print,
+    droppable_reserve: bool = False,
 ):
-    """Resolve `remat: auto` against the real device; returns (remat, model).
+    """Resolve `remat: auto` against the real device.
+
+    Returns ``(remat, model, drop_reserve)`` — `drop_reserve=True` means the
+    rung was chosen on the premise that the device-cache reserve will NOT be
+    pinned (the trainer must stream batches from host; see choose_remat).
 
     `make_model(remat)` builds the run's model at a rung (remat wrappers are
     parameter-transparent, so the trainer's already-initialized variables
@@ -239,7 +291,7 @@ def resolve_auto_remat(
             f"autoremat: non-TPU backend ({device.platform}); using "
             f"remat={rungs[-1]!r} without probing"
         )
-        return rungs[-1], make_model(rungs[-1])
+        return rungs[-1], make_model(rungs[-1]), False
 
     budget = device_hbm_budget(device)
     batch = probe_batch(datamodule, mesh)
@@ -252,7 +304,8 @@ def resolve_auto_remat(
         compiled = step.lower(state, batch, rng).compile()
         return compiled_peak_bytes(compiled)
 
-    chosen = choose_remat(
-        probe, budget, reserve_bytes=reserve_bytes, rungs=rungs, log=log
+    chosen, drop = choose_remat(
+        probe, budget, reserve_bytes=reserve_bytes, rungs=rungs, log=log,
+        droppable_reserve=droppable_reserve,
     )
-    return chosen, models.get(chosen) or make_model(chosen)
+    return chosen, models.get(chosen) or make_model(chosen), drop

@@ -406,20 +406,22 @@ class Trainer:
                 # full) — re-probing makes the rung load-order dependent AND
                 # costs several AOT compiles per restart.
                 from medvae_tpu.train.autoremat import (
-                    recorded_remat_rung,
+                    recorded_remat_decision,
                     resolve_auto_remat,
                 )
 
-                chosen = (
-                    recorded_remat_rung(ckpt_dir_early)
+                chosen, drop_cache = (
+                    recorded_remat_decision(ckpt_dir_early)
                     if cfg.get("resume") or cfg.get("resume_from")
-                    else None
+                    else (None, False)
                 )
                 if chosen is not None:
                     print(
                         f"remat=auto: resuming with recorded rung "
-                        f"{chosen!r} (trainer_state.json)"
+                        f"{chosen!r} (device_cache_dropped={drop_cache}, "
+                        f"trainer_state.json)"
                     )
+                    self._drop_device_cache = drop_cache
                     model = build_model(
                         cfg["model"],
                         precision=cfg.get("precision", "bf16"),
@@ -427,7 +429,7 @@ class Trainer:
                         remat=chosen,
                     )
                 else:
-                    chosen, model = resolve_auto_remat(
+                    chosen, model, drop_cache = resolve_auto_remat(
                         make_model=lambda r: build_model(
                             cfg["model"],
                             precision=cfg.get("precision", "bf16"),
@@ -444,7 +446,11 @@ class Trainer:
                         mesh=self.mesh,
                         seed_key=self.seed_key,
                         reserve_bytes=self._projected_cache_bytes(),
+                        droppable_reserve=True,
                     )
+                    # the rung was chosen on the premise that the dataset
+                    # cache is (or is not) pinned next to it — honor it
+                    self._drop_device_cache = drop_cache
                 self._resolved_remat = chosen
                 if chosen != "full":  # pre-probe build is the "full" rung
                     self.model = model
@@ -591,6 +597,9 @@ class Trainer:
             # False | "block" | "full" — reused verbatim on resume instead of
             # re-probing (train/autoremat.py:recorded_remat_rung)
             blob["remat_rung"] = self._resolved_remat
+            blob["device_cache_dropped"] = bool(
+                getattr(self, "_drop_device_cache", False)
+            )
         if blob:
             path = os.path.join(self.ckpt.directory, "trainer_state.json")
             with open(path, "w") as f:
@@ -665,6 +674,10 @@ class Trainer:
             (self.cfg.get("data") or {}).get("device_cache", "auto")
         ).lower()
         if mode not in ("auto", "true", "1") or jax.process_count() > 1:
+            return False
+        # remat=auto resolved its rung on the premise that the cache HBM is
+        # free for activations (train/autoremat.py:choose_remat) — stream
+        if getattr(self, "_drop_device_cache", False):
             return False
         from medvae_tpu.data.pipeline import split_cache_nbytes
 

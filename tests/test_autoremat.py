@@ -39,8 +39,8 @@ def make_probe(peaks):
 
 def test_first_fitting_rung_wins():
     probe = make_probe({False: 10 * GIB, "block": 8 * GIB})
-    chosen = choose_remat(probe, budget=15 * GIB, log=QUIET)
-    assert chosen is False
+    chosen, drop = choose_remat(probe, budget=15 * GIB, log=QUIET)
+    assert chosen is False and drop is False
     assert probe.calls == [False]  # later rungs never compiled
 
 
@@ -48,7 +48,7 @@ def test_oom_compile_falls_through_to_next_rung():
     probe = make_probe(
         {False: RuntimeError("RESOURCE_EXHAUSTED: ..."), "block": 8 * GIB}
     )
-    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == "block"
+    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == ("block", False)
 
 
 def test_generic_compile_failure_is_a_rejection_not_a_crash():
@@ -56,7 +56,7 @@ def test_generic_compile_failure_is_a_rejection_not_a_crash():
     probe = make_probe(
         {False: RuntimeError("INTERNAL: HTTP 500"), "block": 8 * GIB}
     )
-    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == "block"
+    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == ("block", False)
 
 
 def test_budget_includes_reserve_and_guard():
@@ -64,33 +64,35 @@ def test_budget_includes_reserve_and_guard():
     peak = budget - RUNTIME_GUARD_BYTES - 1 * GIB
     probe = make_probe({False: peak, "block": 1 * GIB})
     # fits with no reserve…
-    assert choose_remat(probe, budget, reserve_bytes=0, log=QUIET) is False
+    assert choose_remat(probe, budget, reserve_bytes=0, log=QUIET) == (False, False)
     # …but a planned 2 GiB device cache pushes it over
     probe2 = make_probe({False: peak, "block": 1 * GIB})
     assert (
-        choose_remat(probe2, budget, reserve_bytes=2 * GIB, log=QUIET) == "block"
+        choose_remat(probe2, budget, reserve_bytes=2 * GIB, log=QUIET)
+        == ("block", False)
     )
 
 
 def test_unreadable_peak_accepted_only_without_reserve():
     probe = make_probe({False: None})
-    assert choose_remat(probe, budget=None, reserve_bytes=0, log=QUIET) is False
+    assert choose_remat(probe, budget=None, reserve_bytes=0, log=QUIET) == (False, False)
     probe2 = make_probe({False: None, "block": None})
     assert (
-        choose_remat(probe2, budget=None, reserve_bytes=1, log=QUIET) == "full"
+        choose_remat(probe2, budget=None, reserve_bytes=1, log=QUIET)
+        == ("full", False)
     )
 
 
 def test_unknown_budget_with_reserve_falls_back():
     probe = make_probe({False: 1 * GIB, "block": 1 * GIB})
-    assert choose_remat(probe, budget=None, reserve_bytes=1, log=QUIET) == "full"
+    assert choose_remat(probe, budget=None, reserve_bytes=1, log=QUIET) == ("full", False)
 
 
 def test_all_rungs_rejected_uses_fallback_unprobed():
     probe = make_probe(
         {False: RuntimeError("OOM"), "block": RuntimeError("OOM")}
     )
-    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == "full"
+    assert choose_remat(probe, budget=15 * GIB, log=QUIET) == ("full", False)
     assert "full" not in probe.calls
 
 
@@ -123,7 +125,7 @@ def test_resolve_short_circuits_on_non_tpu():
     # the test mesh is CPU: no probing, fallback rung, state untouched
     assert jax.devices()[0].platform == "cpu"
     built = []
-    chosen, model = resolve_auto_remat(
+    chosen, model, drop = resolve_auto_remat(
         make_model=lambda r: built.append(r) or ("model", r),
         step_kwargs=None,  # would crash if probing were attempted
         state=None,
@@ -132,7 +134,7 @@ def test_resolve_short_circuits_on_non_tpu():
         seed_key=None,
         log=QUIET,
     )
-    assert chosen == "full" and model == ("model", "full")
+    assert chosen == "full" and model == ("model", "full") and drop is False
     assert built == ["full"]
 
 
@@ -155,10 +157,11 @@ class _FakeDataModule:
     batch_size = 16
 
 
-def _probe_harness(monkeypatch, peaks, budget, reserve_bytes=0):
+def _probe_harness(monkeypatch, peaks, budget, reserve_bytes=0,
+                   droppable_reserve=False):
     """Drive resolve_auto_remat's real probing path end-to-end on CPU:
     fake TPU device, stubbed build_train_step whose AOT 'compile' reports
-    the given per-rung peaks. Returns (chosen, model, captured)."""
+    the given per-rung peaks. Returns (chosen, model, drop, captured)."""
     import jax as _jax
 
     from medvae_tpu.core.mesh import MeshSpec, create_mesh
@@ -203,7 +206,7 @@ def _probe_harness(monkeypatch, peaks, budget, reserve_bytes=0):
     monkeypatch.setattr(step_mod, "build_train_step", fake_build_train_step)
     # mesh on the real CPU device (jax.local_devices is left unpatched)
     mesh = create_mesh(MeshSpec(data=1, model=1), [_jax.local_devices()[0]])
-    chosen, model = resolve_auto_remat(
+    chosen, model, drop = resolve_auto_remat(
         make_model=lambda r: ("m", r),
         step_kwargs={"loss_cfg": {"type": "vae"}},
         state=None,
@@ -212,15 +215,16 @@ def _probe_harness(monkeypatch, peaks, budget, reserve_bytes=0):
         seed_key=jax.random.key(0),
         reserve_bytes=reserve_bytes,
         log=QUIET,
+        droppable_reserve=droppable_reserve,
     )
-    return chosen, model, captured
+    return chosen, model, drop, captured
 
 
 def test_probe_path_selects_no_remat_when_it_fits(monkeypatch):
-    chosen, model, cap = _probe_harness(
+    chosen, model, drop, cap = _probe_harness(
         monkeypatch, peaks={False: 4 * GIB}, budget=16 * GIB
     )
-    assert chosen is False and model == ("m", False)
+    assert chosen is False and model == ("m", False) and drop is False
     # only the winning rung was compiled; the production kwargs flowed through
     assert [m[1] for m in cap["models"]] == [False]
     assert cap["kwargs"][0] == {"loss_cfg": {"type": "vae"}}
@@ -233,23 +237,23 @@ def test_probe_path_selects_no_remat_when_it_fits(monkeypatch):
 
 def test_probe_path_reserve_forces_cheaper_rung(monkeypatch):
     # 14 GiB step fits 16 GiB alone but not once 3 GiB of caches land
-    chosen, model, cap = _probe_harness(
+    chosen, model, drop, cap = _probe_harness(
         monkeypatch,
         peaks={False: 14 * GIB, "block": 10 * GIB},
         budget=16 * GIB,
         reserve_bytes=3 * GIB,
     )
-    assert chosen == "block" and model == ("m", "block")
+    assert chosen == "block" and model == ("m", "block") and drop is False
     assert [m[1] for m in cap["models"]] == [False, "block"]
 
 
 def test_probe_path_compile_oom_falls_through(monkeypatch):
-    chosen, model, _ = _probe_harness(
+    chosen, model, drop, _ = _probe_harness(
         monkeypatch,
         peaks={False: RuntimeError("RESOURCE_EXHAUSTED"), "block": 8 * GIB},
         budget=16 * GIB,
     )
-    assert chosen == "block" and model == ("m", "block")
+    assert chosen == "block" and model == ("m", "block") and drop is False
 
 
 MODEL_CFG = dict(
@@ -305,3 +309,84 @@ def test_recorded_remat_rung_roundtrip(tmp_path):
 
     path.write_text("{not json")
     assert recorded_remat_rung(d) is None  # corrupt file ignored
+
+
+def test_droppable_reserve_keeps_the_faster_rung():
+    """The flagship 224² case: no-remat fits the budget only without the
+    device cache. With droppable_reserve the planner keeps the fast rung and
+    tells the caller to stream batches from host instead of descending to a
+    recompute-heavy rung (measured 35.6 vs 12 img/s,
+    BENCH_FLAGSHIP_r05.json vs logs/disentangled_multi_modal_cvae_full/)."""
+    budget = 16 * GIB
+    peak = budget - RUNTIME_GUARD_BYTES - 1 * GIB  # fits alone, not +2 GiB
+    probe = make_probe({False: peak, "block": 1 * GIB})
+    assert choose_remat(
+        probe, budget, reserve_bytes=2 * GIB, log=QUIET, droppable_reserve=True
+    ) == (False, True)
+    assert probe.calls == [False]  # never descended the ladder
+
+    # with the cache fitting alongside, it is kept (28² configs: the cache
+    # is worth 2.5x feed throughput there)
+    probe2 = make_probe({False: 4 * GIB, "block": 1 * GIB})
+    assert choose_remat(
+        probe2, budget, reserve_bytes=2 * GIB, log=QUIET, droppable_reserve=True
+    ) == (False, False)
+
+
+def test_droppable_reserve_unknown_budget_and_unreadable_peak():
+    # budget unknown, peak readable: compile proves the step fits alone
+    probe = make_probe({False: 1 * GIB})
+    assert choose_remat(
+        probe, budget=None, reserve_bytes=1, log=QUIET, droppable_reserve=True
+    ) == (False, True)
+    # peak unreadable: same reasoning
+    probe2 = make_probe({False: None})
+    assert choose_remat(
+        probe2, budget=None, reserve_bytes=1, log=QUIET, droppable_reserve=True
+    ) == (False, True)
+    # droppable with zero reserve behaves exactly like the plain path
+    probe3 = make_probe({False: 1 * GIB})
+    assert choose_remat(
+        probe3, budget=16 * GIB, reserve_bytes=0, log=QUIET,
+        droppable_reserve=True,
+    ) == (False, False)
+
+
+def test_probe_path_droppable_reserve_streams(monkeypatch):
+    # 14 GiB step + 3 GiB cache misses 16 GiB; dropping the cache keeps
+    # no-remat instead of descending to block
+    chosen, model, drop, cap = _probe_harness(
+        monkeypatch,
+        peaks={False: 14 * GIB, "block": 10 * GIB},
+        budget=16 * GIB,
+        reserve_bytes=3 * GIB,
+        droppable_reserve=True,
+    )
+    assert chosen is False and model == ("m", False) and drop is True
+    assert [m[1] for m in cap["models"]] == [False]
+
+
+def test_recorded_remat_decision_roundtrip(tmp_path):
+    """Resume must reuse BOTH halves of the decision: a rung chosen on the
+    premise that batches stream from host would OOM if the resumed run
+    re-pinned the dataset cache next to it."""
+    import json
+
+    from medvae_tpu.train.autoremat import recorded_remat_decision
+
+    d = str(tmp_path)
+    assert recorded_remat_decision(d) == (None, False)
+
+    path = tmp_path / "trainer_state.json"
+    path.write_text(
+        json.dumps({"remat_rung": False, "device_cache_dropped": True})
+    )
+    assert recorded_remat_decision(d) == (False, True)
+
+    path.write_text(json.dumps({"remat_rung": "block"}))
+    assert recorded_remat_decision(d) == ("block", False)  # older runs
+
+    path.write_text(
+        json.dumps({"remat_rung": "bogus", "device_cache_dropped": True})
+    )
+    assert recorded_remat_decision(d) == (None, False)
