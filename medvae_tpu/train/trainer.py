@@ -531,6 +531,14 @@ class Trainer:
             else:
                 print(f"resume requested but no checkpoint at {target}; fresh start")
 
+        # Persist the remat=auto decision NOW, not first at validation time:
+        # a preemption before the first validation would otherwise leave no
+        # trainer_state.json and force the restarted run to re-probe (the
+        # exact load-order-dependent probe the recording exists to avoid).
+        # On resume this rewrites the just-loaded monitor values unchanged.
+        if self._resolved_remat is not None:
+            self._save_monitor_state()
+
     # -- host-side monitor state (plateau / early-stop counters) ---------- #
     # The device TrainState carries lr_scale, but the plateau best/patience
     # counters and EarlyStopping best/counter live on host; persisting them

@@ -380,3 +380,42 @@ def test_full_flagship_loss_terms(tmp_path, config_dir):
     plain = make([])
     assert "lpips" not in plain.state.frozen
     assert "clip" not in plain.state.frozen
+
+
+def test_remat_decision_persisted_before_first_step(tmp_path, config_dir):
+    """A preemption BEFORE the first validation must still find the
+    remat=auto decision on disk (trainer_state.json is written at setup,
+    not first at validation) — otherwise the restarted run re-probes, which
+    is load-order dependent (train/autoremat.py:recorded_remat_decision).
+    On CPU resolve_auto_remat short-circuits to the fallback rung, which
+    still exercises the persistence path."""
+    import json
+
+    from medvae_tpu.train.autoremat import recorded_remat_decision
+
+    cfg = compose(
+        config_dir,
+        overrides=[
+            "experiment=chest_base_vae_quick",
+            f"work_dir={tmp_path}",
+            "device=cpu",
+            "training.max_epochs=1",
+            "+training.limit_train_batches=2",
+            "early_stopping.enabled=false",
+            "data.batch_size=64",
+            "model.hidden_channels=8",
+            "model.ch_mult=[1,2]",
+            "model.latent_dim=4",
+            "+model.remat=auto",
+        ],
+    )
+    Trainer(cfg)  # setup only — no fit(): simulates dying pre-validation
+    ckpt_root = os.path.join(
+        str(tmp_path), "logs", "checkpoints", "chest_base_vae_quick"
+    )
+    path = os.path.join(ckpt_root, "trainer_state.json")
+    assert os.path.exists(path), "decision must be on disk before any step"
+    blob = json.load(open(path))
+    assert blob["remat_rung"] == "full"  # CPU short-circuit rung
+    assert blob["device_cache_dropped"] is False
+    assert recorded_remat_decision(ckpt_root) == ("full", False)
