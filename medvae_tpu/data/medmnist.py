@@ -165,6 +165,44 @@ def _synthetic_split(
     return (images * 255).astype(np.uint8), labels
 
 
+def _synthetic_split_cached(
+    name: str, split: str, size: int, seed: int, root: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Disk-cached `_synthetic_split`.
+
+    The generator is deterministic in (name, split, size, seed) but costs
+    minutes of host numpy at 224² — paid again on every supervised restart
+    (scripts/train_resilient.py), which is exactly when fast recovery
+    matters. Cache the uint8 arrays under `<root>/_synth_cache/`; the
+    directory name is reserved for synthetic data so the cache can never be
+    mistaken for real MedMNIST npz (`_npz_path` only looks at `<root>`
+    top-level, and callers still set `self.synthetic = True`). The write is
+    atomic (tmp + rename) so a mid-save kill leaves no half-written cache.
+    """
+    if size < 112 or not os.path.isdir(root):
+        # small sizes regenerate in milliseconds (and tests pass fake roots):
+        # caching only pays at 112²+ where generation costs minutes
+        return _synthetic_split(name, split, size, seed)
+    cache_dir = os.path.join(root, "_synth_cache")
+    path = os.path.join(cache_dir, f"{name}_{split}_{size}_s{seed}.npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                return np.asarray(z["images"]), np.asarray(z["labels"])
+        except Exception:
+            pass  # corrupt/stale cache: fall through and regenerate
+    images, labels = _synthetic_split(name, split, size, seed)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, images=images, labels=labels)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only root: caching is best-effort
+    return images, labels
+
+
 @dataclasses.dataclass
 class SplitArrays:
     """One split of one dataset, fully materialized and fixed-shape."""
@@ -246,7 +284,9 @@ class MedMNISTSource:
                 f"{root} and synthetic_fallback=False"
             )
         self.synthetic = True
-        return _synthetic_split(self.dataset_name, self.split, self.size, seed)
+        return _synthetic_split_cached(
+            self.dataset_name, self.split, self.size, seed, root
+        )
 
     def _apply_channel_policy(self, images: np.ndarray) -> np.ndarray:
         c = images.shape[-1]

@@ -210,6 +210,29 @@ def test_synthetic_determinism():
     np.testing.assert_array_equal(a.arrays.images, b.arrays.images)
 
 
+def test_synthetic_disk_cache(tmp_path):
+    """At 112²+ the synthetic splits are disk-cached under <root>/_synth_cache
+    (minutes of host numpy otherwise repaid on every supervised restart).
+    Cached and regenerated arrays must be identical, the synthetic flag must
+    survive a cache hit, and a corrupt cache must regenerate, not crash."""
+    root = str(tmp_path)
+    a = MedMNISTSource("pathmnist", split="val", size=112, root=root)
+    cache = tmp_path / "_synth_cache" / "pathmnist_val_112_s0.npz"
+    assert a.synthetic and cache.exists()
+    b = MedMNISTSource("pathmnist", split="val", size=112, root=root)
+    assert b.synthetic  # cache hit must not look like real data
+    np.testing.assert_array_equal(a.arrays.images, b.arrays.images)
+    np.testing.assert_array_equal(a.arrays.labels, b.arrays.labels)
+    cache.write_bytes(b"not an npz")
+    c = MedMNISTSource("pathmnist", split="val", size=112, root=root)
+    assert c.synthetic
+    np.testing.assert_array_equal(a.arrays.images, c.arrays.images)
+    # small sizes skip the cache entirely (tests pass fake roots like
+    # /nonexistent; regeneration is cheap there)
+    MedMNISTSource("pathmnist", split="val", size=28, root=root)
+    assert not (tmp_path / "_synth_cache" / "pathmnist_val_28_s0.npz").exists()
+
+
 def test_npz_loading(tmp_path):
     # write a fake MedMNIST-format npz and check the loader path
     rs = np.random.RandomState(0)
