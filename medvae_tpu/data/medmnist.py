@@ -179,9 +179,11 @@ def _synthetic_split_cached(
     top-level, and callers still set `self.synthetic = True`). The write is
     atomic (tmp + rename) so a mid-save kill leaves no half-written cache.
     """
-    if size < 112 or not os.path.isdir(root):
-        # small sizes regenerate in milliseconds (and tests pass fake roots):
-        # caching only pays at 112²+ where generation costs minutes
+    if size < 112:
+        # small sizes regenerate in milliseconds (tests pass fake roots at
+        # these sizes): caching only pays at 112²+ where generation costs
+        # minutes. The root dir is created on demand — pure-synthetic runs
+        # (the main consumer of this cache) never have a data dir otherwise.
         return _synthetic_split(name, split, size, seed)
     cache_dir = os.path.join(root, "_synth_cache")
     path = os.path.join(cache_dir, f"{name}_{split}_{size}_s{seed}.npz")

@@ -231,6 +231,13 @@ def test_synthetic_disk_cache(tmp_path):
     # /nonexistent; regeneration is cheap there)
     MedMNISTSource("pathmnist", split="val", size=28, root=root)
     assert not (tmp_path / "_synth_cache" / "pathmnist_val_28_s0.npz").exists()
+    # a missing root dir is created on demand: pure-synthetic runs (the main
+    # consumer) have no data dir at all
+    fresh = tmp_path / "no_such_dir_yet"
+    d = MedMNISTSource("pathmnist", split="val", size=112, root=str(fresh))
+    assert d.synthetic
+    assert (fresh / "_synth_cache" / "pathmnist_val_112_s0.npz").exists()
+    np.testing.assert_array_equal(a.arrays.images, d.arrays.images)
 
 
 def test_npz_loading(tmp_path):
