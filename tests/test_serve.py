@@ -405,3 +405,34 @@ def test_http_server_end_to_end():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_bench_serve_script_tiny(tmp_path):
+    """scripts/bench_serve.py --tiny: the serving perf harness runs end to
+    end (warmup, every method/bucket cell, latency percentiles, the
+    MicroBatcher load section) and writes a well-formed results.json —
+    the regression guard for the committed logs/serve_bench artifact."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "bench_serve.py"),
+         "--tiny", "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads((tmp_path / "results.json").read_text())
+    (surface,) = res["surfaces"]
+    methods = {c["method"] for c in surface["cells"]}
+    assert methods == {"reconstruct", "encode", "decode", "sample"}
+    assert {c["bucket"] for c in surface["cells"]} == {1, 4}
+    assert all(c["images_per_sec"] > 0 for c in surface["cells"])
+    assert surface["single_image_latency_ms"]["p99"] >= (
+        surface["single_image_latency_ms"]["p50"]
+    )
+    mb = surface["microbatcher"]
+    assert mb["requests"] == mb["clients"] * 3
+    assert mb["achieved_req_per_sec"] > 0
